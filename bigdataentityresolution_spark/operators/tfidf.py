@@ -1,0 +1,145 @@
+"""TF-IDF corpus build: postings → df/idf → top-k vocabulary → doc vectors.
+
+Re-expression of the reference's bag-of-words stage
+(src/boWords.c:50-96,460-481,552-619 + top-1000 heap src/mbh.c:144-187 +
+pruning src/boWords.c:136-199) as four shuffle-minimal Spark aggregations:
+
+1. postings(doc, term, tf)        — one groupBy(doc, term).count()
+2. doc_lengths(doc, n_tokens)     — derived from postings by re-agg (no
+                                    second scan of the corpus)
+3. vocab(term, df, idf, tfidf_sum_mean) — one groupBy(term)
+4. top-k vocabulary               — TakeOrderedAndProject (ties broken by
+                                    term asc: deterministic, unlike the
+                                    reference heap's first-seen tie keep,
+                                    src/mbh.c:152-163 — deliberate fix)
+
+Scale notes: postings is the only corpus-sized shuffle; everything
+downstream aggregates the (much smaller) postings relation. The top-k
+vocab is tiny (k≈1000) and is broadcast into the semi-join that prunes
+postings — no shuffle for the prune.
+
+Formulas (reference exact):
+  idf   = ln(N / df)                      (src/boWords.c:602-604)
+  tfidf = (tf / n_tokens_of_doc) * idf    (src/boWords.c:606-619)
+  tfidf_sum_mean(term) = Σ_docs tfidf / N (src/boWords.c:595-599)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdataentityresolution_spark.functions.text import tokenize
+
+
+def postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: Column | None = None,
+) -> DataFrame:
+    """(doc, term, tf) long-format term frequencies.
+
+    explode-then-count; the filter inside ``tokenize`` runs before the
+    explode so dropped tokens never enter the shuffle.
+    """
+    toks = tokenizer if tokenizer is not None else tokenize(text_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(postings_df: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — total admitted tokens per doc (Σ tf)."""
+    return postings_df.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
+
+
+def vocab(postings_df: DataFrame, n_docs: int) -> DataFrame:
+    """(term, df, idf, tfidf_sum_mean) per-term aggregate.
+
+    df counts distinct docs per term — but postings is already distinct
+    on (doc, term), so a plain count() suffices (no expensive
+    countDistinct). tfidf_sum_mean needs per-doc n_tokens, so we join
+    doc_lengths first (broadcast: |docs| rows, small relative to postings).
+    """
+    lengths = doc_lengths(postings_df)
+    # idf depends only on term-level df; fold it in after the groupBy to
+    # keep the map-side partial aggregation effective.
+    agg = (
+        postings_df.join(lengths, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(F.col("tf").cast("double") / F.col("n_tokens")).alias("_norm_tf_sum"),
+        )
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn("tfidf_sum_mean", F.col("_norm_tf_sum") * F.col("idf") / F.lit(float(n_docs)))
+        .drop("_norm_tf_sum")
+    )
+    return agg
+
+
+def top_k_vocab(vocab_df: DataFrame, k: int = 1000) -> DataFrame:
+    """Top-k terms by tfidf_sum_mean (reference MOST_SIGN=1000 heap).
+
+    orderBy+limit → Catalyst TakeOrderedAndProject (per-partition top-k,
+    then k*partitions merged on the driver — no full sort shuffle).
+    Ties broken by term ascending for determinism.
+    """
+    return vocab_df.orderBy(F.desc("tfidf_sum_mean"), F.asc("term")).limit(k)
+
+
+def prune_postings(postings_df: DataFrame, top_vocab: DataFrame) -> DataFrame:
+    """Keep only postings whose term survived vocabulary selection.
+
+    Broadcast left-semi join (top_vocab is ≤ k rows) — reference
+    bow_keep_signWords (src/boWords.c:182-199) without touching the big side's
+    partitioning.
+    """
+    return postings_df.join(F.broadcast(top_vocab.select("term")), "term", "left_semi")
+
+
+def doc_vectors(
+    postings_df: DataFrame, top_vocab: DataFrame, n_docs: int
+) -> DataFrame:
+    """(doc_id, features MAP<term, tfidf>) sparse TF-IDF vectors.
+
+    Reference analog: hash_to_spars COO triples (src/functs.c:2015-2034).
+    MAP<STRING,DOUBLE> keeps vectors self-describing; cosine is a
+    map-aggregate expression (functions.similarity.cosine_maps).
+    """
+    lengths = doc_lengths(postings_df)
+    pruned = prune_postings(postings_df, top_vocab)
+    with_idf = pruned.join(F.broadcast(top_vocab.select("term", "idf")), "term").join(
+        lengths, "doc_id"
+    )
+    weighted = with_idf.select(
+        "doc_id",
+        "term",
+        (F.col("tf").cast("double") / F.col("n_tokens") * F.col("idf")).alias("tfidf"),
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "tfidf"))).alias("features")
+    )
+
+
+def tfidf_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: Column | None = None,
+) -> DataFrame:
+    """(doc_id, term, tf, n_tokens, df, idf, tfidf) fully joined — the
+    oracle-checkable flat TF-IDF relation (no top-k prune)."""
+    n_docs = docs.count()
+    p = postings(docs, id_col, text_col, tokenizer)
+    lengths = doc_lengths(p)
+    v = vocab(p, n_docs)
+    return (
+        p.join(lengths, "doc_id")
+        .join(v.select("term", "df", "idf"), "term")
+        .withColumn("tfidf", F.col("tf").cast("double") / F.col("n_tokens") * F.col("idf"))
+        .select("doc_id", "term", "tf", "n_tokens", "df", "idf", "tfidf")
+    )
