@@ -1,0 +1,203 @@
+"""Blocking: MinHash/LSH shingle keys → bounded candidate pair generation.
+
+Re-expression of the reference's hash-bucket blocking (records land in
+one of 500 hash1 cells which double as candidate-generation buckets,
+src/myHash.c:47-62 + src/functs.c:1731-1881) as similarity-aware LSH
+blocking:
+
+  content → tokens → shingles → MinHash signature → LSH band keys
+  → explode → (spec_id, block_key) → within-block pairs
+
+Scale design (the part that must survive 10^12 files):
+- Block membership is ONE corpus-sized shuffle (groupBy block_key).
+- Within-block pair generation happens inside the aggregated member
+  array (sorted, capped) — no self-join of the corpus against itself.
+- Hot blocks (license headers, empty files — Zipfian, SURVEY.md §7.2)
+  are defused by a per-block member cap applied with a window BEFORE
+  the pair explosion; a capped block contributes at most cap·(cap-1)/2
+  pairs. AQE skew-join handles residual imbalance on the final dedup
+  shuffle. The reference's analog is the global pairs_limit budget
+  (set_size × 12, src/functs.c:23,1718) — ours is per-block, which is
+  deterministic and shuffle-local instead of a racy global counter.
+- Cross-block duplicate pairs (two docs sharing several bands) are
+  deduped with one distinct() on the (a,b) pair — pairs are oriented
+  a < b at creation so no least/greatest pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdataentityresolution_spark.functions.hashes import lsh_band_keys, minhash_signature
+from bigdataentityresolution_spark.functions.text import shingles, tokenize
+
+
+def block_membership(
+    files: DataFrame,
+    id_col: str = "spec_id",
+    text_col: str = "content",
+    shingle_n: int = 2,
+    num_perm: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    tokenizer: Column | None = None,
+) -> DataFrame:
+    """(spec_id, block_key) — one row per record per LSH band.
+
+    All hashing is codegen'd expression work computed in the scan
+    projection; the only shuffle is whatever the consumer does next.
+
+    Default banding (16 bands × 2 rows over 32 perms) tuned on the
+    synthetic clone corpus: true clone pairs sit at 2-shingle Jaccard
+    ≥ 0.5 → P(share a band) ≥ 0.99; unrelated pairs (J ≲ 0.15) collide
+    with P ≈ 0.3 and are rejected by the scorer. Pair-level blocking
+    misses are additionally healed by transitive closure (a~c, c~b ⇒
+    a,b same cluster).
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rows_per_band = num_perm // bands
+    toks = tokenizer if tokenizer is not None else tokenize(text_col)
+
+    # Long-format MinHash: explode shingles, hash each ONCE, then take
+    # num_perm min-aggregates (map-side partial agg → tiny shuffle).
+    # The expression-form functions.hashes.minhash_signature computes the
+    # same values but re-evaluates the char-fold per permutation (Catalyst
+    # CollapseProject inlines the shared subexpression) — fine for oracle
+    # checks on small data, wrong shape for a corpus scan.
+    from bigdataentityresolution_spark.functions.hashes import perm_params
+    from bigdataentityresolution_spark.functions.text import HASH_PRIME, portable_hash
+
+    hashed = files.select(
+        F.col(id_col).alias("spec_id"),
+        F.explode(shingles(toks, shingle_n)).alias("shingle"),
+    ).select("spec_id", portable_hash(F.col("shingle")).alias("h"))
+
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perm_params(num_perm, seed))
+    ]
+    sig = hashed.groupBy("spec_id").agg(*aggs)
+
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(band)),
+            F.concat_ws(
+                "_", *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+            ),
+        )
+        for band in range(bands)
+    ]
+    return sig.select("spec_id", F.explode(F.array(*keys)).alias("block_key"))
+
+
+def candidate_pairs(
+    membership: DataFrame,
+    per_block_cap: int = 64,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """(a, b) candidate pairs with a < b, deduped across blocks.
+
+    Pipeline: cap members per block (window) → collect sorted member
+    array per block (ONE shuffle on block_key) → explode the pair
+    combinations expression-side → distinct().
+
+    per_block_cap bounds worst-case work: a block with m members emits
+    min(m, cap)·(min(m, cap)-1)/2 pairs. Reference analog:
+    pairs_limit = set_size × 12 + 4-bucket stripes
+    (src/functs.c:1718,1752-1768).
+    """
+    w = Window.partitionBy("block_key").orderBy("spec_id")
+    capped = (
+        membership.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_block_cap)
+        .drop("_rn")
+    )
+    members = (
+        capped.groupBy("block_key")
+        .agg(F.sort_array(F.collect_set("spec_id")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    # pairs(ms) = [(ms[i], ms[j]) for i < j] as a flat array expression
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = members.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    return pairs.distinct()
+
+
+def block_stats(membership: DataFrame) -> DataFrame:
+    """(block_key, n_members) — skew diagnostics for the bench/metrics."""
+    return membership.groupBy("block_key").agg(F.count("*").alias("n_members"))
+
+
+def candidate_pairs_salted(
+    membership: DataFrame,
+    per_block_cap: int = 64,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Salted variant for pathologically hot blocks.
+
+    Splits each block into `salt_buckets` sub-blocks by a hash of
+    spec_id, generates within-salt pairs, PLUS cross-salt pairs via a
+    bounded join between distinct salt buckets of the same block.
+    Result set equals the unsalted operator's for blocks under the cap
+    (tests assert this); use when a single block's member list would
+    not fit an executor.
+    """
+    salted = membership.withColumn(
+        "salt", F.pmod(F.xxhash64("spec_id"), F.lit(salt_buckets))
+    )
+    w = Window.partitionBy("block_key", "salt").orderBy("spec_id")
+    capped = (
+        salted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_block_cap)
+        .drop("_rn")
+    )
+    groups = capped.groupBy("block_key", "salt").agg(
+        F.sort_array(F.collect_set("spec_id")).alias("ms")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    within = groups.filter(F.size("ms") >= 2).select(F.explode(pair_arr).alias("p")).select(
+        "p.a", "p.b"
+    )
+    # cross-salt: join distinct salt groups of the same block
+    left = groups.select("block_key", F.col("salt").alias("sa"), F.col("ms").alias("ma"))
+    right = groups.select("block_key", F.col("salt").alias("sb"), F.col("ms").alias("mb"))
+    crossed = (
+        left.join(right, "block_key")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ma",
+                        lambda x: F.transform(
+                            "mb",
+                            lambda y: F.struct(
+                                F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") < F.col("b"))
+    )
+    return within.unionByName(crossed).distinct()

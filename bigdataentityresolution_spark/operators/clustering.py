@@ -1,0 +1,218 @@
+"""Clustering: large-star/small-star connected components + reference
+labeling semantics (must-link closure, cannot-link edges, pair sinks).
+
+Replaces the reference's incremental clique merge
+(mergeMatches/swapSpecsMatches, src/myMatches.c:151-228 +
+src/mySpec.c:41-57) — a pointer union-find that cannot distribute —
+with the large-star/small-star iterative DataFrame algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): O(log n) rounds, each round two self-aggregating shuffles.
+
+Semantics preserved from the reference:
+- Closure is driven by POSITIVE pairs only; negative (cannot-link)
+  edges label pairs but never veto a merge (src/functs.c:629-650).
+- Negative links live at CLUSTER level, symmetric, deduplicated
+  (updateNegativeMatches src/myMatches.c:219-228); when clusters merge,
+  their negative lists union (combineNegativeLists src/myMatches.c:193-217).
+  Here: neg edges are re-mapped through the final labeling and deduped
+  on the normalized cluster-id pair — same result, one pass.
+- Cluster id := min spec_id in the component (deterministic; the
+  reference's cluster identity is an arbitrary surviving pointer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Normalize to a<b, drop self-loops and dupes."""
+    return (
+        edges.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighbor.
+
+    Operates on the symmetric edge list: for node u with Γ(u),
+    m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+    """
+    sym = edges.select("a", "b").unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    nbrs = sym.groupBy("a").agg(F.collect_set("b").alias("nb"))
+    m = F.least(F.array_min("nb"), F.col("a"))
+    out = nbrs.select(
+        F.explode(F.filter("nb", lambda v: v > F.col("a"))).alias("v"),
+        m.alias("m"),
+    )
+    return out.select(F.col("v").alias("a"), F.col("m").alias("b"))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges to (big, small); connect all small neighbors + self
+    to the minimum."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    nbrs = oriented.groupBy("u").agg(F.collect_set("v").alias("nb"))
+    out = nbrs.select(
+        F.explode(F.array_append("nb", F.col("u"))).alias("v"),
+        F.array_min("nb").alias("m"),  # all v < u, so min(Γ⁻ ∪ {u}) = min(nb)
+    )
+    return out.select(F.col("v").alias("a"), F.col("m").alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(spec_id, cluster_id) — component labels; cluster_id = min member id.
+
+    edges: (a, b) positive pairs (any orientation, dupes ok).
+    nodes: optional (spec_id) universe — isolated nodes get singleton
+    clusters (reference: every record starts as a singleton cluster,
+    matchesAdd src/myMatches.c:29-53).
+
+    Alternates large-star/small-star until the edge set reaches a fixed
+    point (signature: count + sum of pair hashes). localCheckpoint every
+    few rounds cuts the lineage (SURVEY.md §7.2: iterative closure cost).
+    """
+    spark = edges.sparkSession
+    e = _canonical_edges(edges)
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev_sig = None
+    for _i in range(max_iter):
+        e = _canonical_edges(_large_star(e))
+        e = _canonical_edges(_small_star(e))
+        # checkpoint every round: the signature check is an action anyway,
+        # and uncut lineage doubles per round.
+        e = e.localCheckpoint(eager=True)
+        sig = signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # At fixpoint the edges form stars; canonical orientation (a < b)
+    # puts the component-min root at `a`, members at `b`.
+    labels = e.select(F.col("b").alias("spec_id"), F.col("a").alias("cluster_id")).unionByName(
+        e.select(F.col("a").alias("spec_id"), F.col("a").alias("cluster_id"))
+    )
+    labels = labels.groupBy("spec_id").agg(F.min("cluster_id").alias("cluster_id"))
+
+    if nodes is not None:
+        singletons = nodes.select(F.col(nodes.columns[0]).alias("spec_id")).join(
+            labels, "spec_id", "left_anti"
+        )
+        labels = labels.unionByName(
+            singletons.select("spec_id", F.col("spec_id").alias("cluster_id"))
+        )
+    return labels
+
+
+def closure_from_labeled_pairs(
+    labeled_pairs: DataFrame,
+    nodes: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(labels, neg_cluster_edges) from a labels relation
+    (left_spec_id, right_spec_id, label ∈ {0,1}).
+
+    Reference lifecycle step 4 (src/main.c:231 → src/functs.c:539-675):
+    positives drive transitive closure; negatives become symmetric
+    cluster-level cannot-link edges against the FINAL clustering
+    (the reference unions neg lists through merges — same fixpoint).
+    """
+    pos = labeled_pairs.filter(F.col("label") == 1).select(
+        F.col("left_spec_id").alias("a"), F.col("right_spec_id").alias("b")
+    )
+    labels = connected_components(pos, nodes=nodes)
+
+    neg = labeled_pairs.filter(F.col("label") == 0).select(
+        F.col("left_spec_id").alias("l"), F.col("right_spec_id").alias("r")
+    )
+    lmap = labels.select(
+        F.col("spec_id").alias("l"), F.col("cluster_id").alias("cid_l")
+    )
+    rmap = labels.select(
+        F.col("spec_id").alias("r"), F.col("cluster_id").alias("cid_r")
+    )
+    neg_edges = (
+        neg.join(lmap, "l", "left")
+        .join(rmap, "r", "left")
+        .select(
+            F.coalesce("cid_l", "l").alias("ca"),
+            F.coalesce("cid_r", "r").alias("cb"),
+        )
+        .select(F.least("ca", "cb").alias("cid_a"), F.greatest("ca", "cb").alias("cid_b"))
+        .filter(F.col("cid_a") != F.col("cid_b"))  # contradictory labels → drop
+        .distinct()
+    )
+    return labels, neg_edges
+
+
+def extract_matches(labels: DataFrame) -> DataFrame:
+    """All within-cluster pairs (a, b, 1), a < b — the positives sink
+    (extractMatches, src/myMatches.c:255-330): full transitive-closure
+    expansion via cluster self-join."""
+    l1 = labels.select(F.col("spec_id").alias("a"), "cluster_id")
+    l2 = labels.select(F.col("spec_id").alias("b"), "cluster_id")
+    return (
+        l1.join(l2, "cluster_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1).alias("label"))
+    )
+
+
+def extract_negatives(labels: DataFrame, neg_cluster_edges: DataFrame) -> DataFrame:
+    """All cross-negative-cluster pairs (a, b, 0) — the negatives sink
+    (extractNegatives, src/myMatches.c:332-405): members(cid_a) ×
+    members(cid_b) for each cannot-link cluster edge."""
+    mem_a = labels.select(F.col("cluster_id").alias("cid_a"), F.col("spec_id").alias("a"))
+    mem_b = labels.select(F.col("cluster_id").alias("cid_b"), F.col("spec_id").alias("b"))
+    return (
+        neg_cluster_edges.join(mem_a, "cid_a")
+        .join(mem_b, "cid_b")
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), F.lit(0).alias("label"))
+        .distinct()
+    )
+
+
+def label_candidate_pairs(
+    candidates: DataFrame,
+    labels: DataFrame,
+    neg_cluster_edges: DataFrame,
+) -> DataFrame:
+    """isPair semantics (src/functs.c:1329-1355) over candidate (a, b):
+    label 1 iff same cluster; 0 iff clusters negatively linked; row
+    DROPPED otherwise (unknown pairs are not trainable)."""
+    la = labels.select(F.col("spec_id").alias("a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("spec_id").alias("b"), F.col("cluster_id").alias("cb"))
+    joined = candidates.join(la, "a").join(lb, "b")
+    pos = joined.filter(F.col("ca") == F.col("cb")).select("a", "b", F.lit(1).alias("label"))
+    neg_norm = neg_cluster_edges.select("cid_a", "cid_b")
+    negs = (
+        joined.filter(F.col("ca") != F.col("cb"))
+        .withColumn("cid_a", F.least("ca", "cb"))
+        .withColumn("cid_b", F.greatest("ca", "cb"))
+        .join(neg_norm, ["cid_a", "cid_b"], "left_semi")
+        .select("a", "b", F.lit(0).alias("label"))
+    )
+    return pos.unionByName(negs)

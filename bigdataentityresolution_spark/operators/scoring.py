@@ -1,0 +1,363 @@
+"""Pairwise scoring: similarity features + mini-batch logistic regression.
+
+Re-expression of the reference's classifier stage (src/logistic.c):
+
+- The reference concatenates two 1000-dim TF-IDF vectors per pair
+  (src/functs.c:1005-1031) and trains LR over 2·|V| weights with
+  Hogwild-style concurrent batch updates under a mutex
+  (src/logistic.c:346-472, batches of 500 pairs, 2 GD iterations each,
+  lr=0.6, stop=0.15, moving threshold clamped to [0.2, 0.8]).
+- The new engine computes THREE pairwise similarity features
+  (cosine over TF-IDF maps, Jaccard over token sets, bounded
+  Levenshtein — all JVM expressions, functions/similarity.py) and
+  trains the same LR loop SYNCHRONOUSLY: per round, per-batch gradients
+  computed in an Arrow-vectorized applyInPandas kernel, averaged on the
+  driver, weights broadcast back. Deterministic replacement for the
+  reference's racy Hogwild (SURVEY.md §2.10).
+
+Deliberate deviations (SURVEY.md §7.2, documented not cargo-culted):
+- bias gradient = mean(missed), not the reference's mean(|missed|)
+  (src/logistic.c:384-392 accumulates absolute values — a bug that
+  makes the bias monotonically decrease).
+- No int-truncating sparse dot (src/logistic.c:899).
+- Threshold update reproduces logistic_overfit_dataList EXACTLY
+  (src/logistic.c:693-734) including clamp-then-return ordering and
+  cumulative fit1/fit0 counters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdataentityresolution_spark.functions.similarity import (
+    cosine_maps,
+    jaccard_arrays,
+    levenshtein_bounded,
+)
+
+FEATURE_COLS = ("f_cosine", "f_jaccard", "f_lev")
+
+
+@dataclass(frozen=True)
+class LRModel:
+    """Driver-held model state; broadcast per training round."""
+
+    weights: tuple[float, ...] = (0.0, 0.0, 0.0)
+    bias: float = 0.0
+    threshold: float = 0.5
+    lr: float = 0.6  # LEARING_RATE include/logistic.h:168
+    stop_limit: float = 0.15  # STOP_LIMIT include/logistic.h:169
+    fit1: int = 0
+    fit0: int = 0
+    rounds_trained: int = 0
+
+    def w(self) -> np.ndarray:
+        return np.asarray(self.weights, dtype=np.float64)
+
+
+def pair_features(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "spec_id",
+    vector_col: str = "features",
+    tokens_col: str = "tokens",
+    text_col: str = "content",
+    lev_bound: int = 256,
+) -> DataFrame:
+    """Join candidate (a, b) pairs to both sides' doc representations and
+    compute the similarity feature columns.
+
+    docs must carry: id, TF-IDF map (vector_col), token array
+    (tokens_col), and raw text (text_col). Only the Levenshtein prefix
+    (lev_bound chars) of the text is shipped through the join — at
+    10^12 rows the full content must never ride a pair shuffle.
+    """
+    side = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(vector_col).alias("_vec"),
+        F.col(tokens_col).alias("_toks"),
+        F.substring(F.col(text_col), 1, lev_bound).alias("_prefix"),
+    )
+    a = side.select(
+        F.col("_id").alias("a"),
+        F.col("_vec").alias("_vec_a"),
+        F.col("_toks").alias("_toks_a"),
+        F.col("_prefix").alias("_prefix_a"),
+    )
+    b = side.select(
+        F.col("_id").alias("b"),
+        F.col("_vec").alias("_vec_b"),
+        F.col("_toks").alias("_toks_b"),
+        F.col("_prefix").alias("_prefix_b"),
+    )
+    out = (
+        candidates.join(a, "a")
+        .join(b, "b")
+        .withColumn("f_cosine", F.round(cosine_maps(F.col("_vec_a"), F.col("_vec_b")), 9))
+        .withColumn(
+            "f_jaccard", F.round(jaccard_arrays(F.col("_toks_a"), F.col("_toks_b")), 9)
+        )
+        .withColumn(
+            "f_lev", levenshtein_bounded(F.col("_prefix_a"), F.col("_prefix_b"), lev_bound)
+        )
+    )
+    return out.drop("_vec_a", "_vec_b", "_toks_a", "_toks_b", "_prefix_a", "_prefix_b")
+
+
+def proba_expr(model: LRModel, feature_cols: tuple[str, ...] = FEATURE_COLS) -> Column:
+    """sigmoid(b + w·x) as a JVM expression (calc_s, src/logistic.c:915-950)."""
+    z = F.lit(float(model.bias))
+    for wj, c in zip(model.weights, feature_cols):
+        z = z + F.lit(float(wj)) * F.col(c)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def predict(
+    scored: DataFrame, model: LRModel, feature_cols: tuple[str, ...] = FEATURE_COLS
+) -> DataFrame:
+    """Adds proba + predict columns (logistic_predict_proba_dataList,
+    src/logistic.c:522-552: predict = proba >= threshold)."""
+    return scored.withColumn("proba", proba_expr(model, feature_cols)).withColumn(
+        "predict", (F.col("proba") >= F.lit(float(model.threshold))).cast("int")
+    )
+
+
+def update_threshold(model: LRModel, n_pos: int, n_neg: int) -> LRModel:
+    """Exact logistic_overfit_dataList (src/logistic.c:693-734):
+    cumulative fit1/fit0; clamp-then-return at [0.2, 0.8]; rate from the
+    majority side; threshold += (threshold/rate) * threshold."""
+    fit1 = model.fit1 + n_pos
+    fit0 = model.fit0 + n_neg
+    t = model.threshold
+    if t >= 0.8:
+        return replace(model, fit1=fit1, fit0=fit0, threshold=0.8)
+    if t <= 0.2:
+        return replace(model, fit1=fit1, fit0=fit0, threshold=0.2)
+    if fit1 > fit0:
+        rate = float(fit1) if fit0 == 0 else fit1 / fit0
+    else:
+        rate = -float(fit0) if fit1 == 0 else -fit0 / fit1
+    t = t + (t / rate) * t
+    return replace(model, fit1=fit1, fit0=fit0, threshold=t)
+
+
+def _batch_gradient_kernel(feature_cols: tuple[str, ...], weights: np.ndarray, bias: float):
+    """applyInPandas kernel: one (n_pairs, b_grad, grad_0..grad_d) row per
+    batch. Arrow-columnar in, numpy vectorized — no per-row Python."""
+
+    d = len(feature_cols)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[list(feature_cols)].to_numpy(dtype=np.float64)
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        z = bias + x @ weights
+        proba = 1.0 / (1.0 + np.exp(-z))
+        missed = proba - y
+        n = len(pdf)
+        grad = (x * missed[:, None]).sum(axis=0) / n
+        out = {
+            "n_pairs": [n],
+            "b_grad": [missed.mean()],
+            "abs_missed_sum": [np.abs(missed).sum()],
+        }
+        for j in range(d):
+            out[f"g{j}"] = [grad[j]]
+        return pd.DataFrame(out)
+
+    schema = "n_pairs long, b_grad double, abs_missed_sum double, " + ", ".join(
+        f"g{j} double" for j in range(d)
+    )
+    return kernel, schema
+
+
+def fit_lr(
+    pairs: DataFrame,
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+    label_col: str = "label",
+    model: LRModel | None = None,
+    max_rounds: int = 2,
+    batch_size: int = 500,
+) -> LRModel:
+    """Synchronous mini-batch GD.
+
+    Per round: batch id = row hash mod n_batches (deterministic stand-in
+    for the reference's arrival-order batching, 500 pairs/batch
+    src/functs.c:20); applyInPandas computes per-batch gradients
+    (ONE shuffle on batch id); driver averages (weighted by batch size),
+    updates weights (w -= lr·grad, weights_update src/logistic.c:773-801)
+    and the moving threshold; stops when mean |missed| <= stop_limit or
+    after max_rounds (reference: trained_times > 1 → stop,
+    src/logistic.c:454 — default max_rounds=2 mirrors it; pipelines may
+    raise it).
+    """
+    model = model or LRModel(weights=tuple(0.0 for _ in feature_cols))
+    df = pairs.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("label"),
+    ).cache()
+    n_total = df.count()
+    if n_total == 0:
+        return model
+    n_batches = max(1, (n_total + batch_size - 1) // batch_size)
+    batched = df.withColumn(
+        "_batch",
+        F.pmod(F.xxhash64(*feature_cols, "label"), F.lit(n_batches)),
+    )
+
+    label_counts = {
+        int(r["label"]): r["n"]
+        for r in df.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    for _ in range(max_rounds):
+        kernel, schema = _batch_gradient_kernel(feature_cols, model.w(), model.bias)
+        stats = batched.groupBy("_batch").applyInPandas(kernel, schema).collect()
+        n = sum(r["n_pairs"] for r in stats)
+        b_grad = sum(r["b_grad"] * r["n_pairs"] for r in stats) / n
+        grad = np.array(
+            [sum(r[f"g{j}"] * r["n_pairs"] for r in stats) / n for j in range(len(feature_cols))]
+        )
+        mean_abs_missed = sum(r["abs_missed_sum"] for r in stats) / n
+
+        new_w = model.w() - model.lr * grad
+        model = replace(
+            model,
+            weights=tuple(float(v) for v in new_w),
+            bias=float(model.bias - model.lr * b_grad),
+            rounds_trained=model.rounds_trained + 1,
+        )
+        model = update_threshold(model, label_counts.get(1, 0), label_counts.get(0, 0))
+        if mean_abs_missed <= model.stop_limit:
+            break
+
+    df.unpersist()
+    return model
+
+
+def fit_lr_newton(
+    pairs: DataFrame,
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+    label_col: str = "label",
+    max_rounds: int = 8,
+    ridge: float = 1e-8,
+    tol: float = 1e-8,
+    model: LRModel | None = None,
+) -> LRModel:
+    """Distributed IRLS (Newton) fit — the pipeline's production trainer.
+
+    Each round is ONE shuffle: an applyInPandas kernel emits per-batch
+    partial gradient + Hessian sums (feature count is tiny, so the
+    Hessian is a (d+1)² matrix — driver-solvable). Converges in ~5
+    rounds where the reference's lr=0.6 GD (kept in fit_lr for parity)
+    needs hundreds. Threshold bookkeeping matches fit_lr.
+    """
+    model = model or LRModel(weights=tuple(0.0 for _ in feature_cols))
+    d = len(feature_cols)
+    df = pairs.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("label"),
+    ).cache()
+    n_total = df.count()
+    if n_total == 0:
+        return model
+    label_counts = {
+        int(r["label"]): r["n"]
+        for r in df.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_batch_keys = max(1, min(64, n_total // 1000 + 1))
+    batched = df.withColumn(
+        "_batch", F.pmod(F.xxhash64(*feature_cols, "label"), F.lit(n_batch_keys))
+    )
+
+    def make_kernel(weights: np.ndarray, bias: float):
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            x = np.column_stack(
+                [np.ones(len(pdf)), pdf[list(feature_cols)].to_numpy(dtype=np.float64)]
+            )
+            y = pdf["label"].to_numpy(dtype=np.float64)
+            beta = np.concatenate([[bias], weights])
+            p = 1.0 / (1.0 + np.exp(-(x @ beta)))
+            g = x.T @ (p - y)  # (d+1,) partial gradient sum
+            wdiag = p * (1 - p)
+            h = x.T @ (x * wdiag[:, None])  # (d+1, d+1) partial Hessian sum
+            out = {"n": [len(pdf)]}
+            for i in range(d + 1):
+                out[f"g{i}"] = [g[i]]
+            for i in range(d + 1):
+                for j in range(d + 1):
+                    out[f"h{i}_{j}"] = [h[i, j]]
+            return pd.DataFrame(out)
+
+        schema = (
+            "n long, "
+            + ", ".join(f"g{i} double" for i in range(d + 1))
+            + ", "
+            + ", ".join(f"h{i}_{j} double" for i in range(d + 1) for j in range(d + 1))
+        )
+        return kernel, schema
+
+    beta = np.concatenate([[model.bias], model.w()])
+    for _ in range(max_rounds):
+        kernel, schema = make_kernel(beta[1:], beta[0])
+        stats = batched.groupBy("_batch").applyInPandas(kernel, schema).collect()
+        g = np.array([sum(r[f"g{i}"] for r in stats) for i in range(d + 1)])
+        h = np.array(
+            [[sum(r[f"h{i}_{j}"] for r in stats) for j in range(d + 1)] for i in range(d + 1)]
+        )
+        h += ridge * np.eye(d + 1) * max(1.0, n_total)
+        step = np.linalg.solve(h, g)
+        beta = beta - step
+        model = replace(
+            model,
+            weights=tuple(float(v) for v in beta[1:]),
+            bias=float(beta[0]),
+            rounds_trained=model.rounds_trained + 1,
+        )
+        model = update_threshold(model, label_counts.get(1, 0), label_counts.get(0, 0))
+        if float(np.abs(step).max()) < tol:
+            break
+    df.unpersist()
+    return model
+
+
+def accuracy(scored: DataFrame, label_col: str = "label") -> float:
+    """corrects / total (logistic_score, src/logistic.c:601-615) — the
+    global definition, not the reference's per-batch mean-of-means quirk
+    (src/functs.c:1504-1508)."""
+    row = scored.select(
+        F.avg((F.col("predict") == F.col(label_col)).cast("double")).alias("acc")
+    ).collect()[0]
+    return float(row["acc"]) if row["acc"] is not None else 0.0
+
+
+def self_training_pseudo_labels(
+    scored_candidates: DataFrame,
+    known_pairs: DataFrame,
+    limit: int | None = None,
+) -> DataFrame:
+    """One self-training round's pseudo-labeled pairs
+    (src/functs.c:1671-1728): keep label 1 iff 0.85 <= p < 1.0, label 0
+    iff 0.0 < p <= 0.15 (confidence band src/functs.c:1846-1852); drop
+    pairs already labeled (check_info_list src/functs.c:1883-1928);
+    cap at `limit` (pairs_limit = set_size × 12, src/functs.c:23,1718),
+    deterministic order (by confidence, then pair) instead of the
+    reference's racy global counter."""
+    banded = scored_candidates.withColumn(
+        "label",
+        F.when((F.col("proba") >= 0.85) & (F.col("proba") < 1.0), F.lit(1))
+        .when((F.col("proba") > 0.0) & (F.col("proba") <= 0.15), F.lit(0))
+        .otherwise(F.lit(None)),
+    ).filter(F.col("label").isNotNull())
+    known = known_pairs.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    )
+    fresh = banded.join(known, ["a", "b"], "left_anti")
+    if limit is not None:
+        conf = F.greatest(F.col("proba"), F.lit(1.0) - F.col("proba"))
+        fresh = fresh.orderBy(F.desc(conf), "a", "b").limit(limit)
+    return fresh

@@ -1,0 +1,278 @@
+"""The flagship ER pipeline: ingest → TF-IDF prep → LSH blocking →
+candidate scoring → transitive clustering, with stage checkpoints.
+
+Spark lifecycle of the reference's main pipeline (src/main.c:46-548,
+mapped in SURVEY.md §3.1), re-architected:
+
+  stage        reference                            here
+  ------------ ------------------------------------ -------------------------
+  ingest       readDataset JSON walk                source table scan +
+                                                    sha2(content,256) invariant
+  closure      readCSV merge/negative links         connected components over
+               (incremental clique merge)           labeled positives
+  prep         hash_to_bow + tfidf_apply + top-1000 postings/vocab/doc_vectors
+  blocking     hash1 mod 500 buckets                MinHash/LSH band keys
+  candidates   bucket-stripe enumeration            capped within-block pairs
+  features     concat sparse TF-IDF vectors         cosine/jaccard/levenshtein
+  train        Hogwild batched GD                   synchronous IRLS rounds
+  score        logistic_predict_proba               JVM sigmoid expression
+  self-train   1 retrain round, band [0.85/0.15]    same semantics
+  cluster      (clusters == label closure)          label closure ∪ accepted
+                                                    predicted edges
+  sinks        extractMatches/extractNegatives      same, as DataFrames
+
+Every stage checkpoints through plans.checkpoint.StageRunner; a killed
+run resumes at the first stage whose manifest is missing or whose input
+fingerprint changed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataentityresolution_spark.functions.text import tokenize
+from bigdataentityresolution_spark.operators import blocking as B
+from bigdataentityresolution_spark.operators import clustering as C
+from bigdataentityresolution_spark.operators import scoring as S
+from bigdataentityresolution_spark.operators import tfidf as TI
+from bigdataentityresolution_spark.plans.checkpoint import StageRunner
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    shingle_n: int = 2
+    num_perm: int = 32
+    bands: int = 16
+    per_block_cap: int = 64
+    vocab_k: int = 1000
+    lev_bound: int = 256
+    newton_rounds: int = 8
+    self_train: bool = True
+    self_train_limit_factor: int = 12  # pairs_limit = train_size × 12 (src/functs.c:23)
+    edge_threshold: float | None = None  # None → model.threshold
+    seed: int = 42
+
+    def fingerprint(self, extra: str = "") -> str:
+        payload = json.dumps(asdict(self), sort_keys=True) + extra
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def verify_content_invariant(source: DataFrame, staged: DataFrame, id_col: str = "spec_id") -> int:
+    """input_hint invariant: per-row sha2(content,256) equality vs the
+    source table. Returns the number of violating rows (0 == pass)."""
+    s = source.select(F.col(id_col), F.sha2("content", 256).alias("_sha_src"))
+    t = staged.select(F.col(id_col), F.sha2("content", 256).alias("_sha_stage"))
+    return (
+        s.join(t, id_col, "full")
+        .filter(
+            F.col("_sha_src").isNull()
+            | F.col("_sha_stage").isNull()
+            | (F.col("_sha_src") != F.col("_sha_stage"))
+        )
+        .count()
+    )
+
+
+def run_er_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    labeled_pairs: DataFrame,
+    workdir: str | None = None,
+    config: ERConfig = ERConfig(),
+) -> dict:
+    """Run the full pipeline; returns dict with labels/matches/model/metrics.
+
+    files: (spec_id, repo, path, commit, lang, content[, content_sha])
+    labeled_pairs: (left_spec_id, right_spec_id, label[, split])
+    """
+    runner = StageRunner(spark, workdir)
+    fp_files = config.fingerprint("files")
+    tok = tokenize("content")
+
+    # ---- stage: prep (tokens + TF-IDF doc vectors) -------------------------
+    def prep():
+        n_docs = files.count()
+        p = TI.postings(files, id_col="spec_id", text_col="content", tokenizer=tok)
+        v = TI.vocab(p, n_docs)
+        top = TI.top_k_vocab(v, config.vocab_k)
+        # tfidf operators speak "doc_id" internally; map back to spec_id
+        vecs = TI.doc_vectors(p, top, n_docs).withColumnRenamed("doc_id", "spec_id")
+        return (
+            files.select(
+                "spec_id",
+                F.array_distinct(tok).alias("tokens"),
+                F.substring("content", 1, config.lev_bound).alias("prefix"),
+            )
+            .join(vecs, "spec_id", "left")
+            .withColumn(
+                "features",
+                F.coalesce("features", F.map_from_arrays(F.array(), F.array())),
+            )
+        )
+
+    docs_prep = runner.run("prep", prep, fp_files)
+
+    # ---- stage: blocking membership ---------------------------------------
+    def blocking():
+        return B.block_membership(
+            files,
+            id_col="spec_id",
+            text_col="content",
+            shingle_n=config.shingle_n,
+            num_perm=config.num_perm,
+            bands=config.bands,
+            seed=config.seed,
+            tokenizer=tok,
+        )
+
+    membership = runner.run("blocking", blocking, fp_files)
+
+    # ---- stage: candidate pairs --------------------------------------------
+    candidates = runner.run(
+        "candidates",
+        lambda: B.candidate_pairs(membership, per_block_cap=config.per_block_cap),
+        fp_files,
+    )
+
+    # ---- stage: label closure (reference semantics: ALL labels) ------------
+    fp_labels = config.fingerprint("labels")
+
+    def closure():
+        labels, neg = C.closure_from_labeled_pairs(
+            labeled_pairs, nodes=files.select("spec_id")
+        )
+        return labels.withColumn("_kind", F.lit("label")).unionByName(
+            neg.select(
+                F.col("cid_a").alias("spec_id"), F.col("cid_b").alias("cluster_id")
+            ).withColumn("_kind", F.lit("neg_edge"))
+        )
+
+    closure_df = runner.run("closure", closure, fp_labels).cache()
+    label_clusters = closure_df.filter(F.col("_kind") == "label").drop("_kind")
+    neg_edges = closure_df.filter(F.col("_kind") == "neg_edge").select(
+        F.col("spec_id").alias("cid_a"), F.col("cluster_id").alias("cid_b")
+    )
+
+    # ---- stage: training pairs + features ----------------------------------
+    # Train on the train split's labeled pairs (reference: LR trains on
+    # pairs among first-60% specs, src/main.c:296-308).
+    def train_features():
+        lp = labeled_pairs
+        if "split" in lp.columns:
+            lp = lp.filter(F.col("split") == "train")
+        tp = lp.select(
+            F.least("left_spec_id", "right_spec_id").alias("a"),
+            F.greatest("left_spec_id", "right_spec_id").alias("b"),
+            "label",
+        ).distinct()
+        return S.pair_features(
+            tp, docs_prep, id_col="spec_id", vector_col="features",
+            tokens_col="tokens", text_col="prefix", lev_bound=config.lev_bound,
+        ).select("a", "b", "label", *S.FEATURE_COLS)
+
+    train_pairs = runner.run("train_features", train_features, fp_labels).cache()
+
+    # ---- stage: fit (driver-held model; manifest records the weights) ------
+    model = S.fit_lr_newton(train_pairs, max_rounds=config.newton_rounds)
+
+    # ---- stage: candidate features + scores --------------------------------
+    def cand_features():
+        return S.pair_features(
+            candidates, docs_prep, id_col="spec_id", vector_col="features",
+            tokens_col="tokens", text_col="prefix", lev_bound=config.lev_bound,
+        ).select("a", "b", *S.FEATURE_COLS)
+
+    cand_feats = runner.run("cand_features", cand_features, fp_files).cache()
+    scored = S.predict(cand_feats, model)
+
+    # ---- stage: one self-training round (count_retrain < 1, src/functs.c:1717)
+    if config.self_train:
+        train_size = train_pairs.count()
+        pseudo = S.self_training_pseudo_labels(
+            scored,
+            known_pairs=train_pairs.select("a", "b"),
+            limit=config.self_train_limit_factor * max(train_size, 1),
+        ).select("a", "b", "label", *S.FEATURE_COLS)
+        refit_input = train_pairs.select("a", "b", "label", *S.FEATURE_COLS).unionByName(
+            pseudo
+        )
+        model = S.fit_lr_newton(refit_input, max_rounds=config.newton_rounds)
+        scored = S.predict(cand_feats, model)
+
+    # ---- stage: final clustering -------------------------------------------
+    # Edges: labeled positives (must-link, ALL splits — reference closure
+    # covers 100% of labels) ∪ predicted matches, minus pairs explicitly
+    # labeled 0 (we never add a predicted edge a human label contradicts;
+    # the reference adds no predicted edges at all).
+    thr = config.edge_threshold if config.edge_threshold is not None else model.threshold
+
+    def final_cluster():
+        pos_label_edges = labeled_pairs.filter(F.col("label") == 1).select(
+            F.least("left_spec_id", "right_spec_id").alias("a"),
+            F.greatest("left_spec_id", "right_spec_id").alias("b"),
+        )
+        neg_label_pairs = labeled_pairs.filter(F.col("label") == 0).select(
+            F.least("left_spec_id", "right_spec_id").alias("a"),
+            F.greatest("left_spec_id", "right_spec_id").alias("b"),
+        )
+        pred_edges = (
+            scored.filter(F.col("proba") >= F.lit(float(thr)))
+            .select("a", "b")
+            .join(neg_label_pairs, ["a", "b"], "left_anti")
+        )
+        edges = pos_label_edges.unionByName(pred_edges)
+        return C.connected_components(edges, nodes=files.select("spec_id"))
+
+    final_labels = runner.run(
+        "cluster", final_cluster, config.fingerprint("cluster" + str(thr))
+    )
+
+    matches = C.extract_matches(final_labels)
+
+    return {
+        "docs_prep": docs_prep,
+        "membership": membership,
+        "candidates": candidates,
+        "label_clusters": label_clusters,
+        "neg_edges": neg_edges,
+        "train_pairs": train_pairs,
+        "model": model,
+        "scored": scored,
+        "labels": final_labels,
+        "matches": matches,
+        "runner": runner,
+    }
+
+
+def pairwise_f1(predicted_labels: DataFrame, truth_labels: DataFrame) -> dict:
+    """Pairwise precision/recall/F1 of predicted clustering vs truth.
+
+    Both inputs: (spec_id, cluster_id). Pairs = within-cluster pairs
+    (a < b). Computed distributed (no collect of pair sets)."""
+
+    def pairs_of(labels: DataFrame) -> DataFrame:
+        l1 = labels.select(F.col("spec_id").alias("a"), "cluster_id")
+        l2 = labels.select(F.col("spec_id").alias("b"), "cluster_id")
+        return l1.join(l2, "cluster_id").filter(F.col("a") < F.col("b")).select("a", "b")
+
+    pred = pairs_of(predicted_labels).cache()
+    true = pairs_of(truth_labels).cache()
+    tp = pred.join(true, ["a", "b"], "left_semi").count()
+    n_pred = pred.count()
+    n_true = true.count()
+    precision = tp / n_pred if n_pred else 1.0
+    recall = tp / n_true if n_true else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp,
+        "pred_pairs": n_pred,
+        "true_pairs": n_true,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

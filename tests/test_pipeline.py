@@ -1,0 +1,102 @@
+"""End-to-end pipeline: F1 vs ground truth + vs label closure, sha
+invariant, checkpoint/resume equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataentityresolution_spark.operators import clustering as C
+from bigdataentityresolution_spark.plans import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tiny_tables):
+    files_df, truth_df, pairs_df = tiny_tables
+    return P.run_er_pipeline(spark, files_df, pairs_df, workdir=None)
+
+
+def test_f1_vs_ground_truth(pipeline_result, tiny_tables):
+    _, truth_df, _ = tiny_tables
+    m = P.pairwise_f1(pipeline_result["labels"], truth_df)
+    assert m["f1"] >= 0.99, m
+
+
+def test_f1_vs_reference_label_closure(spark, pipeline_result, tiny_tables):
+    """north_rule parity: the reference's clusters ARE the transitive
+    closure of labeled positives (src/main.c steps 4-6). Our final
+    clusters must agree with that closure on labeled pairs: every
+    closure pair predicted same-cluster (recall 1.0 by construction —
+    label edges are must-link), and explicitly-negative pairs must not
+    be merged unless the ground truth says otherwise."""
+    files_df, truth_df, pairs_df = tiny_tables
+    ref_labels, _ = C.closure_from_labeled_pairs(
+        pairs_df, nodes=files_df.select("spec_id")
+    )
+    # all reference within-cluster pairs must be within-cluster for us
+    ref_pairs = C.extract_matches(ref_labels).select("a", "b")
+    our_pairs = C.extract_matches(pipeline_result["labels"]).select("a", "b")
+    missed = ref_pairs.join(our_pairs, ["a", "b"], "left_anti").count()
+    assert missed == 0
+    # F1 of our clusters vs the closure clusters evaluated on LABELED pairs
+    lp = pairs_df.select(
+        F.least("left_spec_id", "right_spec_id").alias("a"),
+        F.greatest("left_spec_id", "right_spec_id").alias("b"),
+        "label",
+    ).distinct()
+    ours = lp.join(our_pairs.withColumn("pred", F.lit(1)), ["a", "b"], "left").fillna(
+        {"pred": 0}
+    )
+    stats = ours.groupBy("label", "pred").count().collect()
+    cm = {(r["label"], r["pred"]): r["count"] for r in stats}
+    tp = cm.get((1, 1), 0)
+    fp = cm.get((0, 1), 0)
+    fn = cm.get((1, 0), 0)
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, cm
+
+
+def test_model_quality(pipeline_result):
+    model = pipeline_result["model"]
+    assert model.rounds_trained > 0
+    assert 0.2 <= model.threshold <= 0.8
+
+
+def test_sha_invariant(spark, tiny_tables):
+    files_df, _, _ = tiny_tables
+    assert P.verify_content_invariant(files_df, files_df) == 0
+    tampered = files_df.withColumn(
+        "content",
+        F.when(F.col("spec_id").startswith("org/name-0000"), F.concat("content", F.lit("x")))
+        .otherwise(F.col("content")),
+    )
+    assert P.verify_content_invariant(files_df, tampered) > 0
+
+
+def test_checkpoint_resume_equivalence(spark, tiny_tables, tmp_path_factory):
+    """Kill-and-resume: a second run over the same workdir must reuse
+    every stage (manifest hit) and produce identical clusters."""
+    files_df, truth_df, pairs_df = tiny_tables
+    wd = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = P.ERConfig(self_train=False, newton_rounds=4)
+    r1 = P.run_er_pipeline(spark, files_df, pairs_df, workdir=wd, config=cfg)
+    labels1 = sorted(map(tuple, r1["labels"].collect()))
+
+    r2 = P.run_er_pipeline(spark, files_df, pairs_df, workdir=wd, config=cfg)
+    labels2 = sorted(map(tuple, r2["labels"].collect()))
+    assert labels1 == labels2
+    resumed = [s for s, m in r2["runner"].manifests.items() if m.get("resumed")]
+    assert set(resumed) >= {"prep", "blocking", "candidates", "closure", "cluster"}
+    # manifests carry per-partition lineage
+    m = r2["runner"].manifests["candidates"]
+    assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+
+
+def test_resume_invalidates_on_config_change(spark, tiny_tables, tmp_path_factory):
+    files_df, _, pairs_df = tiny_tables
+    wd = str(tmp_path_factory.mktemp("ckpt2"))
+    cfg = P.ERConfig(self_train=False, newton_rounds=2)
+    P.run_er_pipeline(spark, files_df, pairs_df, workdir=wd, config=cfg)
+    cfg2 = P.ERConfig(self_train=False, newton_rounds=2, per_block_cap=32)
+    r = P.run_er_pipeline(spark, files_df, pairs_df, workdir=wd, config=cfg2)
+    assert r["runner"].manifests["candidates"]["resumed"] is False
