@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headliners:
+- er_pipeline:    the flagship blocking → scoring → clustering run over a
+                  deterministic synthetic source-code corpus (input_hint
+                  shape, written to parquet first so Spark reads columnar
+                  like production). Reports candidate-pairs/sec — the
+                  BASELINE.json throughput metric.
+- tfidf_flagship: TF-IDF top-terms query on documents.parquet
+- dedup_minhash:  MinHash near-dup pairs on documents.parquet
+- ann_lsh_topk:   LSH cosine top-k on embeddings.parquet
+- tpch_q1:        generic OLAP agg on lineitem.parquet
+
+Usage: python bench.py            # full bench, one JSON line on stdout
+       python bench.py --er-only  # only the ER pipeline headliner
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CLUSTERS = int(os.environ.get("SPARK_GRAFT_BENCH_CLUSTERS", "8000"))
+BENCH_UNRELATED = int(os.environ.get("SPARK_GRAFT_BENCH_UNRELATED", "16000"))
+CORPUS_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_CORPUS", f"/tmp/bench_corpus_c{BENCH_CLUSTERS}_u{BENCH_UNRELATED}"
+)
+
+
+def ensure_corpus(spark):
+    """Materialize the synthetic corpus as parquet (once; deterministic)."""
+    files_path = os.path.join(CORPUS_DIR, "files")
+    pairs_path = os.path.join(CORPUS_DIR, "pairs")
+    truth_path = os.path.join(CORPUS_DIR, "truth")
+    if not os.path.exists(os.path.join(files_path, "_SUCCESS")):
+        from bigdataentityresolution_spark.sources.synthetic import (
+            corpus_to_spark,
+            generate_corpus,
+        )
+
+        corpus = generate_corpus(
+            n_clusters=BENCH_CLUSTERS, n_unrelated=BENCH_UNRELATED, n_repos=100, seed=42
+        )
+        files_df, truth_df, pairs_df = corpus_to_spark(spark, corpus)
+        files_df.repartition(CPUS).write.mode("overwrite").parquet(files_path)
+        truth_df.write.mode("overwrite").parquet(truth_path)
+        pairs_df.write.mode("overwrite").parquet(pairs_path)
+    return (
+        spark.read.parquet(files_path),
+        spark.read.parquet(truth_path),
+        spark.read.parquet(pairs_path),
+    )
+
+
+def bench_er_pipeline(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from bigdataentityresolution_spark.plans.pipeline import (
+        ERConfig,
+        pairwise_f1,
+        run_er_pipeline,
+    )
+
+    files, truth, pairs = ensure_corpus(spark)
+    n_files = files.count()  # outside the timed section (cache warm)
+
+    t0 = time.time()
+    result = run_er_pipeline(
+        spark, files, pairs, workdir=None, config=ERConfig(self_train=False)
+    )
+    n_candidates = result["candidates"].count()
+    n_clusters = result["labels"].select("cluster_id").distinct().count()
+    elapsed = time.time() - t0
+
+    f1 = pairwise_f1(result["labels"], truth)
+    return {
+        "sec": elapsed,
+        "n_files": n_files,
+        "n_candidates": n_candidates,
+        "n_clusters": n_clusters,
+        "candidate_pairs_per_sec": n_candidates / elapsed,
+        "files_per_sec": n_files / elapsed,
+        "f1": round(f1["f1"], 4),
+    }
+
+
+def bench_tfidf(spark) -> float:
+    from bigdataentityresolution_spark.queries import flagship
+
+    t0 = time.time()
+    flagship(spark, SF_DIR).count()
+    return time.time() - t0
+
+
+def bench_dedup(spark) -> float:
+    from bigdataentityresolution_spark.operators.dedup import minhash_duplicate_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    minhash_duplicate_pairs(docs, jaccard_threshold=0.6).count()
+    return time.time() - t0
+
+
+def bench_ann(spark) -> float:
+    from pyspark.sql import functions as F
+
+    from bigdataentityresolution_spark.operators.ann import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.limit(64).select(F.col("vec_id").alias("query_id"), "embedding")
+    t0 = time.time()
+    lsh_topk(emb, queries, k=10).count()
+    return time.time() - t0
+
+
+def bench_tpch_q1(spark) -> float:
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    li.createOrReplaceTempView("lineitem")
+    t0 = time.time()
+    spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               avg(l_quantity) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    return time.time() - t0
+
+
+def main() -> None:
+    er_only = "--er-only" in sys.argv
+    from bigdataentityresolution_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    queries: dict[str, float] = {}
+    er = bench_er_pipeline(spark)
+    queries["er_pipeline"] = round(er["sec"], 3)
+    if not er_only:
+        queries["tfidf_flagship"] = round(bench_tfidf(spark), 3)
+        queries["dedup_minhash"] = round(bench_dedup(spark), 3)
+        queries["ann_lsh_topk"] = round(bench_ann(spark), 3)
+        queries["tpch_q1"] = round(bench_tpch_q1(spark), 3)
+
+    out = {
+        "metric": "candidate_pairs_per_sec",
+        "value": round(er["candidate_pairs_per_sec"], 1),
+        "unit": "pairs/sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "cpus": CPUS,
+        "er": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in er.items()},
+        "total_sec": round(sum(queries.values()), 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

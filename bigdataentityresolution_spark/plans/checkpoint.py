@@ -69,7 +69,9 @@ class StageRunner:
         downstream fingerprints embed upstream ones).
         """
         if not self.enabled:
-            df = fn()
+            # no checkpoint dir → keep the stage in the block-manager cache so
+            # downstream stages don't recompute its whole lineage
+            df = fn().cache()
             self.manifests[stage] = {"stage": stage, "resumed": False}
             return df
 

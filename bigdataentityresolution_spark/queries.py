@@ -157,6 +157,589 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Filters & predicates (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "filter_point_lookup",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 7",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key lookup → point filter (findRecord_byKey, src/myHash.c:221-252)."""
+    return _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@_register(
+    "filter_token_admission",
+    f"""
+    SELECT doc_id, {X.admitted_tokens_sql('text')} AS toks FROM documents
+    """,
+)
+def q_token_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checkWord parity: alnum-only, lowercased, exact stopword drop
+    (src/boWords.c:251-275; deliberate strstr-quirk fix SURVEY.md §7.2)."""
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id", X.admitted_tokens("text").alias("toks")
+    )
+
+
+@_register(
+    "filter_confidence_band",
+    """
+    SELECT event_id, round(1.0/(1.0+exp(-(value - 50.0)/25.0)), 6) AS proba
+    FROM events
+    WHERE (1.0/(1.0+exp(-(value - 50.0)/25.0)) >= 0.85 AND 1.0/(1.0+exp(-(value - 50.0)/25.0)) < 1.0)
+       OR (1.0/(1.0+exp(-(value - 50.0)/25.0)) > 0.0 AND 1.0/(1.0+exp(-(value - 50.0)/25.0)) <= 0.15)
+    """,
+)
+def q_confidence_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-training confidence band [0.85/0.15] over a sigmoid score
+    (src/functs.c:1846-1852) exercised on the events table."""
+    ev = _load(spark, sf_dir, "events")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50.0) / 25.0))
+    return (
+        ev.withColumn("proba", p)
+        .filter(((F.col("proba") >= 0.85) & (F.col("proba") < 1.0)) | ((F.col("proba") > 0.0) & (F.col("proba") <= 0.15)))
+        .select("event_id", F.round("proba", 6).alias("proba"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins & pair generation (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "join_id_resolution",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_nationkey, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def q_id_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-id → record-store probe join (src/functs.c:612-621): equi join,
+    small side broadcast."""
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    c = _load(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "c_nationkey", "o_totalprice"
+    )
+
+
+@_register(
+    "join_semi_anti",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END AS has_orders
+    FROM customer
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti membership checks (isPair cluster/neg scans,
+    src/functs.c:1331-1351) as one boolean projection."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        c.join(o.withColumn("_has", F.lit(1)), "c_custkey", "left")
+        .select("c_custkey", F.coalesce("_has", F.lit(0)).alias("has_orders"))
+    )
+
+
+@_register(
+    "pair_generation_blocked",
+    """
+    SELECT d1.doc_id AS a, d2.doc_id AS b, d1.lang
+    FROM documents d1 JOIN documents d2
+      ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+    WHERE d1.doc_id % 10 = 0 AND d2.doc_id % 10 = 0
+    """,
+)
+def q_pair_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-with-all pair generation (retrain_with_all,
+    src/functs.c:1731-1806): within-block self-join with a < b."""
+    d = _load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang"
+    )
+    d1 = d.select(F.col("doc_id").alias("a"), "lang")
+    d2 = d.select(F.col("doc_id").alias("b"), "lang")
+    return d1.join(d2, "lang").filter(F.col("a") < F.col("b")).select("a", "b", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "agg_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "agg_label_balance",
+    "SELECT label, count(*) AS n FROM embeddings GROUP BY label",
+)
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fit1/fit0 label counters (logistic_overfit_dataList,
+    src/logistic.c:693-702)."""
+    return _load(spark, sf_dir, "embeddings").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "agg_accuracy",
+    """
+    SELECT round(avg(CASE WHEN (n_chars > 250) = (label = 1) THEN 1.0 ELSE 0.0 END), 6) AS acc
+    FROM (SELECT d.n_chars, e.label FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+    """,
+)
+def q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corrects/total accuracy aggregate (logistic_score,
+    src/logistic.c:601-615) over a toy predictor."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = _load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"), "label")
+    j = d.join(e, "doc_id")
+    return j.select(
+        F.round(
+            F.avg(((F.col("n_chars") > 250) == (F.col("label") == 1)).cast("double")), 6
+        ).alias("acc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions & sorts/top-k (SURVEY.md §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running")
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@_register(
+    "topk_global",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBH top-N selection (src/mbh.c:144-187) → TakeOrderedAndProject,
+    deterministic tie-break by key."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "set_ops_union_except",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      UNION
+      SELECT doc_id FROM documents WHERE n_chars > 300
+    )
+    EXCEPT
+    SELECT doc_id FROM documents WHERE source = 'src1'
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    u = d.filter(F.col("lang") == "en").select("doc_id").union(
+        d.filter(F.col("n_chars") > 300).select("doc_id")
+    ).distinct()
+    return u.exceptAll(d.filter(F.col("source") == "src1").select("doc_id")).distinct()
+
+
+@_register(
+    "pair_dedup_normalized",
+    """
+    SELECT DISTINCT least(user_id, CAST(floor(value) AS BIGINT)) AS a,
+                    greatest(user_id, CAST(floor(value) AS BIGINT)) AS b
+    FROM events WHERE event_type = 'click' AND user_id <> CAST(floor(value) AS BIGINT)
+    """,
+)
+def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric pair dedup on (least, greatest) — negative-edge dedup
+    (updateNegativeMatches src/myMatches.c:219-228, check_info_list
+    src/functs.c:1883-1928)."""
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    # floor() explicitly: DuckDB's double→bigint cast rounds, Spark truncates
+    v = F.floor("value").cast("bigint")
+    return (
+        ev.filter(F.col("user_id") != v)
+        .select(F.least("user_id", v).alias("a"), F.greatest("user_id", v).alias("b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "scalar_string_funcs",
+    """
+    SELECT doc_id, lower(substr(text, 1, 20)) AS prefix20,
+           length(text) AS len, length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+           md5(lang) AS lang_fp
+    FROM documents
+    """,
+)
+def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("prefix20"),
+        F.length("text").alias("len"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("n_alpha"),
+        F.md5("lang").alias("lang_fp"),
+    )
+
+
+@_register(
+    "scalar_portable_hash",
+    f"SELECT doc_id, {X.portable_hash_sql('text')} AS h FROM documents",
+)
+def q_portable_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's cross-engine string hash (re-expression of hash1,
+    src/myHash.c:47-62) — MinHash/SimHash building block."""
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id", X.portable_hash(F.col("text")).alias("h")
+    )
+
+
+@_register(
+    "scalar_levenshtein",
+    """
+    SELECT d1.doc_id AS a, d2.doc_id AS b,
+           levenshtein(substr(d1.text, 1, 64), substr(d2.text, 1, 64)) AS dist
+    FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    WHERE d1.doc_id % 20 = 0
+    """,
+)
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 64).alias("p"))
+    d1 = d.filter(F.col("doc_id") % 20 == 0).select(F.col("doc_id").alias("a"), F.col("p").alias("pa"))
+    d2 = d.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"), F.col("p").alias("pb"))
+    return (
+        d1.join(d2, "a")
+        .select("a", "b", F.levenshtein("pa", "pb").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH / dedup family (SURVEY.md §2.3 blocking + pipeline extensions)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = X.shingles_sql(X.tokenize_sql("text"), 2)
+
+@_register(
+    "minhash_signatures",
+    f"""
+    SELECT doc_id,
+           {', '.join(
+               f"list_extract({H.minhash_signature_sql('__sh', 8)}, {i + 1}) AS mh{i}"
+               for i in range(8)
+           )}
+    FROM (SELECT doc_id, {_SHINGLES_SQL} AS __sh FROM documents)
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature components (blocking re-expression of hash-bucket
+    assignment, src/myHash.c:47-62). 8 perms exposed as scalar columns."""
+    d = _load(spark, sf_dir, "documents")
+    sig = H.minhash_signature(X.shingles(X.tokenize("text"), 2), num_perm=8)
+    return d.select(
+        "doc_id", *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(8)]
+    )
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT fp, count(*) AS n_dups, list_sort(list(doc_id)) AS doc_ids
+    FROM (SELECT md5(text) AS fp, doc_id FROM documents)
+    GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentityresolution_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_load(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang, list_distinct({sh}) AS s
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+    """.format(sh=_SHINGLES_SQL),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over lang-blocked candidates."""
+    from bigdataentityresolution_spark.functions.similarity import jaccard_arrays
+
+    d = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id", "lang",
+            F.array_distinct(X.shingles(X.tokenize("text"), 2)).alias("s"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("a"), "lang", F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("b"), "lang", F.col("s").alias("sb"))
+    return (
+        a.join(b, "lang")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("jaccard", F.round(jaccard_arrays("sa", "sb"), 6))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("a", "b", "jaccard")
+    )
+
+
+@_register("dedup_simhash")  # rows-only: 60-bit majority votes are impractical in SQL
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentityresolution_spark.operators.dedup import simhash_duplicate_pairs
+
+    return simhash_duplicate_pairs(
+        _load(spark, sf_dir, "documents"), max_hamming=12
+    ).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search / embeddings (pipeline extensions)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+      FROM emb q, emb c WHERE q.vec_id < 8
+    )
+    SELECT query_id, vec_id, round(cos_raw, 6) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(cos_raw, 6) DESC, vec_id ASC
+      ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline) — 8 probes vs corpus."""
+    from bigdataentityresolution_spark.operators.ann import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+@_register("ann_lsh_topk")  # rows-only: hyperplane constants impractical in SQL
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdataentityresolution_spark.operators.ann import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (SURVEY.md §2.7 cluster union → large-star/small-star)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "connected_components_chains",
+    """
+    WITH RECURSIVE e AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2
+        ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+    ), sym AS (
+      SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+    )
+    SELECT node AS spec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """large-star/small-star CC vs a recursive-CTE oracle. Edge set:
+    consecutive doc_ids sharing a language (deterministic chains)."""
+    from bigdataentityresolution_spark.operators.clustering import connected_components
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    d2 = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("lang").alias("lang2"), F.col("doc_id").alias("b"))
+    edges = (
+        d.join(d2, "doc_id")
+        .filter(F.col("lang") == F.col("lang2"))
+        .select(F.col("doc_id").alias("a"), "b")
+    )
+    return connected_components(edges, nodes=d.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Text analytics (training-data pipeline extensions)
+# ---------------------------------------------------------------------------
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(X._LANG_MARKERS[lang]))
+    return (
+        f"len(list_filter({X.tokenize_sql('text')}, t -> list_contains([{words}], t)))"
+    )
+
+
+@_register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+      CASE WHEN h_zh = 0 AND h_es = 0 AND h_fr = 0 AND h_en = 0 AND h_de = 0 THEN 'und'
+           WHEN h_zh >= h_es AND h_zh >= h_fr AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+           WHEN h_es >= h_fr AND h_es >= h_en AND h_es >= h_de THEN 'es'
+           WHEN h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+           WHEN h_en >= h_de THEN 'en'
+           ELSE 'de' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             {_lang_hits_sql('de')} AS h_de, {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('es')} AS h_es, {_lang_hits_sql('fr')} AS h_fr,
+             {_lang_hits_sql('zh')} AS h_zh
+      FROM documents
+    )
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (argmax marker hits, ties → max lang)."""
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id", X.lang_id("text").alias("lang_pred")
+    )
+
+
+@_register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id, round(
+        0.4 * least(len({X.tokenize_sql('text')}) / 100.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1))
+      + 0.3 * least(
+          len(list_filter({X.tokenize_sql('text')}, t -> list_contains([{', '.join(chr(39) + w + chr(39) for w in X.STOPWORDS)}], t)))
+            * 1.0 / greatest(len({X.tokenize_sql('text')}), 1) * 5.0, 1.0), 6) AS quality
+    FROM documents
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id", X.quality_score("text").alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-as-batch: tumbling window agg over events
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min window aggregate — batch semantics of the
+    streaming ingest path (streaming/ingest.py runs the same plan via
+    readStream; the reference has no streaming, SURVEY.md §2.11)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "5 minutes").getField("start").alias("win_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+
+
+# ---------------------------------------------------------------------------
 # Flagship (M1): TF-IDF top terms per document on sf0.001
 # ---------------------------------------------------------------------------
 
