@@ -33,6 +33,82 @@ from bigdataentityresolution_spark.functions.hashes import lsh_band_keys, minhas
 from bigdataentityresolution_spark.functions.text import shingles, tokenize
 
 
+def minhash_signatures_df(
+    files: DataFrame,
+    id_col: str = "spec_id",
+    text_col: str = "content",
+    shingle_n: int = 2,
+    num_perm: int = 32,
+    seed: int = 42,
+    tokenizer: Column | None = None,
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """(spec_id, sig ARRAY<BIGINT>) — the compact per-record sketch.
+
+    Long-format MinHash: explode shingles, hash each ONCE, num_perm
+    min-aggregates (map-side partial agg → tiny shuffle). This sketch is
+    computed ONE time per corpus and reused for (a) LSH band keys and
+    (b) the estimated-Jaccard pair feature — at 10^12 rows the sketch
+    (256 B) is what rides every downstream shuffle, never the text.
+
+    hash_fn: "xxhash" (default — Spark's codegen'd 64-bit hash, folded
+    into [0, HASH_PRIME) with pmod; several× cheaper per shingle) or
+    "portable" (the char-fold polynomial hash the DuckDB oracle can
+    reproduce — use where cross-engine parity matters).
+    """
+    from bigdataentityresolution_spark.functions.hashes import perm_params
+    from bigdataentityresolution_spark.functions.text import HASH_PRIME, portable_hash
+
+    toks = tokenizer if tokenizer is not None else tokenize(text_col)
+    exploded = files.select(
+        F.col(id_col).alias("spec_id"),
+        F.explode(shingles(toks, shingle_n)).alias("shingle"),
+    )
+    if hash_fn == "portable":
+        # char-fold polynomial hash — interpreted per char, but the only
+        # form the DuckDB oracle can reproduce
+        hashed = exploded.select("spec_id", portable_hash(F.col("shingle")).alias("h"))
+    else:
+        # xxhash64 on the exploded shingle rows is whole-stage-codegen'd.
+        # (A numeric token-hash-rolling variant was tried and measured 4×
+        # SLOWER: higher-order-function lambdas evaluate interpreted and
+        # re-evaluate the hashed-token array per gram.)
+        hashed = exploded.select(
+            "spec_id", F.pmod(F.xxhash64(F.col("shingle")), F.lit(HASH_PRIME)).alias("h")
+        )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perm_params(num_perm, seed))
+    ]
+    sig = hashed.groupBy("spec_id").agg(*aggs)
+    return sig.select(
+        "spec_id", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def membership_from_signatures(
+    signatures: DataFrame, bands: int = 16, num_perm: int = 32
+) -> DataFrame:
+    """(spec_id, block_key) from a precomputed signature table — pure
+    projection + explode, no rescan of the corpus."""
+    rows_per_band = num_perm // bands
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(band)),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at("sig", band * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            ),
+        )
+        for band in range(bands)
+    ]
+    return signatures.select("spec_id", F.explode(F.array(*keys)).alias("block_key"))
+
+
 def block_membership(
     files: DataFrame,
     id_col: str = "spec_id",
@@ -42,6 +118,7 @@ def block_membership(
     bands: int = 16,
     seed: int = 42,
     tokenizer: Column | None = None,
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """(spec_id, block_key) — one row per record per LSH band.
 
@@ -56,40 +133,11 @@ def block_membership(
     a,b same cluster).
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
-    rows_per_band = num_perm // bands
-    toks = tokenizer if tokenizer is not None else tokenize(text_col)
-
-    # Long-format MinHash: explode shingles, hash each ONCE, then take
-    # num_perm min-aggregates (map-side partial agg → tiny shuffle).
-    # The expression-form functions.hashes.minhash_signature computes the
-    # same values but re-evaluates the char-fold per permutation (Catalyst
-    # CollapseProject inlines the shared subexpression) — fine for oracle
-    # checks on small data, wrong shape for a corpus scan.
-    from bigdataentityresolution_spark.functions.hashes import perm_params
-    from bigdataentityresolution_spark.functions.text import HASH_PRIME, portable_hash
-
-    hashed = files.select(
-        F.col(id_col).alias("spec_id"),
-        F.explode(shingles(toks, shingle_n)).alias("shingle"),
-    ).select("spec_id", portable_hash(F.col("shingle")).alias("h"))
-
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(perm_params(num_perm, seed))
-    ]
-    sig = hashed.groupBy("spec_id").agg(*aggs)
-
-    keys = [
-        F.concat_ws(
-            ":",
-            F.lit(str(band)),
-            F.concat_ws(
-                "_", *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
-            ),
-        )
-        for band in range(bands)
-    ]
-    return sig.select("spec_id", F.explode(F.array(*keys)).alias("block_key"))
+    sig = minhash_signatures_df(
+        files, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        num_perm=num_perm, seed=seed, tokenizer=tokenizer, hash_fn=hash_fn,
+    )
+    return membership_from_signatures(sig, bands=bands, num_perm=num_perm)
 
 
 def candidate_pairs(

@@ -143,6 +143,14 @@ def closure_from_labeled_pairs(
     pos = labeled_pairs.filter(F.col("label") == 1).select(
         F.col("left_spec_id").alias("a"), F.col("right_spec_id").alias("b")
     )
+    if nodes is None:
+        # reference: every record referenced by a label has (at least) a
+        # singleton cluster (matchesAdd src/myMatches.c:29-53) — without a
+        # universe, default to all ids the labels mention so negative-only
+        # specs still exist in the labeling.
+        nodes = labeled_pairs.select(F.col("left_spec_id").alias("spec_id")).unionByName(
+            labeled_pairs.select(F.col("right_spec_id").alias("spec_id"))
+        ).distinct()
     labels = connected_components(pos, nodes=nodes)
 
     neg = labeled_pairs.filter(F.col("label") == 0).select(

@@ -1,0 +1,108 @@
+"""Multimodal columns: binary payloads with typed metadata, Arrow-batched
+decode/feature plumbing.
+
+Training-data-pipeline extension (no reference analog). Media rides as
+opaque BINARY columns + a typed metadata struct; all per-byte work runs
+in `mapInPandas` (Arrow batches, never per-row Python). The actual
+codec step is STUBBED — image/audio libs are not in this container —
+behind `decode_stub`, with the Spark-side plumbing (schema, batch
+iteration, partition mapping, output shape) fully real and tested.
+
+Schema convention:
+  media(media_id STRING, modality STRING, payload BINARY,
+        meta STRUCT<mime STRING, width INT, height INT, duration_ms INT>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, modality string, payload binary, "
+    "meta struct<mime string, width int, height int, duration_ms int>"
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "media_id string, modality string, n_bytes long, payload_sha string, "
+    f"features array<float>"
+)
+
+
+def decode_stub(payload: bytes, modality: str) -> np.ndarray:
+    """STUB for the real codec (PIL/libav not in this container).
+
+    Deterministic fake decode: a float32 vector derived from the payload
+    digest — shape-compatible with a real embedding so every downstream
+    operator (ANN, near-dup, quality filters) exercises the true path.
+    Raises for unknown modalities exactly where a real decoder would.
+    """
+    if modality not in {"image", "audio", "video"}:
+        raise NotImplementedError(f"no decoder for modality {modality!r}")
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def extract_media_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """mapInPandas over binary payloads → per-item feature vectors.
+
+    One Arrow batch in, one out; numpy work vectorized where the stub
+    allows. Partitioning is preserved — at scale, repartition upstream by
+    a storage-locality key, not here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_stub(p, m).tolist()
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_sha": pdf["payload"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per sampled timestamp.
+
+    The frame decode itself is the stubbed step; the row explosion,
+    timestamp arithmetic, and schema are the real Spark plumbing.
+    duration comes from the typed metadata."""
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
+    )
+    return (
+        media.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .withColumn("ts_ms", F.col("frame_idx") * every_ms)
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Cheap metadata-only aggregates (no payload decode): per-modality
+    count/bytes — runs entirely JVM-side on the binary length."""
+    return media.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
+    )

@@ -67,7 +67,7 @@ def pair_features(
     vector_col: str = "features",
     tokens_col: str = "tokens",
     text_col: str = "content",
-    lev_bound: int = 256,
+    lev_bound: int = 128,
 ) -> DataFrame:
     """Join candidate (a, b) pairs to both sides' doc representations and
     compute the similarity feature columns.
@@ -98,15 +98,92 @@ def pair_features(
     out = (
         candidates.join(a, "a")
         .join(b, "b")
-        .withColumn("f_cosine", F.round(cosine_maps(F.col("_vec_a"), F.col("_vec_b")), 9))
         .withColumn(
             "f_jaccard", F.round(jaccard_arrays(F.col("_toks_a"), F.col("_toks_b")), 9)
         )
+        .withColumn("f_cosine", F.round(cosine_maps(F.col("_vec_a"), F.col("_vec_b")), 9))
+        # Levenshtein is the one O(len²) feature (lev_bound² DP cells per
+        # pair). Most LSH candidates are junk (low Jaccard); gate the DP
+        # behind the cheap token-Jaccard test — a pair with J < 0.1 gets
+        # f_lev = 0.0, which the classifier reads the same way the true
+        # distance would (clear non-match). Deterministic and documented.
         .withColumn(
-            "f_lev", levenshtein_bounded(F.col("_prefix_a"), F.col("_prefix_b"), lev_bound)
+            "f_lev",
+            F.when(
+                F.col("f_jaccard") >= 0.1,
+                levenshtein_bounded(F.col("_prefix_a"), F.col("_prefix_b"), lev_bound),
+            ).otherwise(F.lit(0.0)),
         )
     )
     return out.drop("_vec_a", "_vec_b", "_toks_a", "_toks_b", "_prefix_a", "_prefix_b")
+
+
+def est_jaccard_expr(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """MinHash-estimated Jaccard: fraction of agreeing signature slots."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree.cast("double") / F.lit(float(num_perm))
+
+
+def pair_features_compact(
+    candidates: DataFrame,
+    docs_compact: DataFrame,
+    num_perm: int = 32,
+    lev_bound: int = 128,
+    sig_prefilter: float | None = 0.2,
+) -> DataFrame:
+    """The SCALE path for pair features: candidates join only COMPACT
+    per-doc state — (spec_id, sig ARRAY<BIGINT>, features MAP, prefix).
+
+    Why this exists (measured, see BENCH/BASELINE.md history): joining the
+    full token arrays through a multi-million-pair shuffle replicates
+    each doc's ~KB payload ~fan-out times and spills; the sketch is 256 B.
+    Feature set:
+      f_jaccard — MinHash-ESTIMATED Jaccard (signature agreement)
+      f_cosine  — cosine over top-k-pruned TF-IDF maps
+      f_lev     — bounded prefix Levenshtein, gated on f_jaccard
+    sig_prefilter drops pairs whose estimated Jaccard is below the bar
+    BEFORE the expensive features — label-driven edges never pass through
+    here, so blocking recall is unaffected and closure heals stragglers.
+    """
+    side = docs_compact.select(
+        F.col("spec_id").alias("_id"),
+        F.col("sig").alias("_sig"),
+        F.col("features").alias("_vec"),
+        F.col("prefix").alias("_prefix"),
+    )
+    a = side.select(
+        F.col("_id").alias("a"), F.col("_sig").alias("_sig_a"),
+        F.col("_vec").alias("_vec_a"), F.col("_prefix").alias("_prefix_a"),
+    )
+    b = side.select(
+        F.col("_id").alias("b"), F.col("_sig").alias("_sig_b"),
+        F.col("_vec").alias("_vec_b"), F.col("_prefix").alias("_prefix_b"),
+    )
+    out = (
+        candidates.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "f_jaccard",
+            F.round(est_jaccard_expr(F.col("_sig_a"), F.col("_sig_b"), num_perm), 9),
+        )
+    )
+    if sig_prefilter is not None:
+        out = out.filter(F.col("f_jaccard") >= sig_prefilter)
+    out = (
+        out.withColumn("f_cosine", F.round(cosine_maps(F.col("_vec_a"), F.col("_vec_b")), 9))
+        .withColumn(
+            "f_lev",
+            F.when(
+                F.col("f_jaccard") >= 0.1,
+                levenshtein_bounded(F.col("_prefix_a"), F.col("_prefix_b"), lev_bound),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.drop("_sig_a", "_sig_b", "_vec_a", "_vec_b", "_prefix_a", "_prefix_b")
 
 
 def proba_expr(model: LRModel, feature_cols: tuple[str, ...] = FEATURE_COLS) -> Column:
@@ -245,7 +322,7 @@ def fit_lr_newton(
     label_col: str = "label",
     max_rounds: int = 8,
     ridge: float = 1e-8,
-    tol: float = 1e-8,
+    tol: float = 1e-6,
     model: LRModel | None = None,
 ) -> LRModel:
     """Distributed IRLS (Newton) fit — the pipeline's production trainer.

@@ -50,7 +50,8 @@ class ERConfig:
     bands: int = 16
     per_block_cap: int = 64
     vocab_k: int = 1000
-    lev_bound: int = 256
+    lev_bound: int = 128
+    sig_prefilter: float = 0.2  # drop candidates with est-Jaccard below this
     newton_rounds: int = 8
     self_train: bool = True
     self_train_limit_factor: int = 12  # pairs_limit = train_size × 12 (src/functs.c:23)
@@ -94,7 +95,20 @@ def run_er_pipeline(
     fp_files = config.fingerprint("files")
     tok = tokenize("content")
 
-    # ---- stage: prep (tokens + TF-IDF doc vectors) -------------------------
+    # ---- stage: signatures (ONE corpus scan → 256 B sketch per record) ----
+    def signatures():
+        return B.minhash_signatures_df(
+            files, id_col="spec_id", text_col="content",
+            shingle_n=config.shingle_n, num_perm=config.num_perm,
+            seed=config.seed, tokenizer=tok,
+        )
+
+    sigs = runner.run("signatures", signatures, fp_files)
+
+    # ---- stage: prep (compact per-doc state: sig + TF-IDF map + prefix) ----
+    # Everything a pair shuffle will ever carry. The raw content/token
+    # arrays never ride a pair join (measured: full-payload joins spill
+    # at multi-million-candidate scale and stop scaling).
     def prep():
         n_docs = files.count()
         p = TI.postings(files, id_col="spec_id", text_col="content", tokenizer=tok)
@@ -104,33 +118,24 @@ def run_er_pipeline(
         vecs = TI.doc_vectors(p, top, n_docs).withColumnRenamed("doc_id", "spec_id")
         return (
             files.select(
-                "spec_id",
-                F.array_distinct(tok).alias("tokens"),
-                F.substring("content", 1, config.lev_bound).alias("prefix"),
+                "spec_id", F.substring("content", 1, config.lev_bound).alias("prefix")
             )
             .join(vecs, "spec_id", "left")
             .withColumn(
                 "features",
                 F.coalesce("features", F.map_from_arrays(F.array(), F.array())),
             )
+            .join(sigs, "spec_id")
         )
 
     docs_prep = runner.run("prep", prep, fp_files)
 
-    # ---- stage: blocking membership ---------------------------------------
-    def blocking():
-        return B.block_membership(
-            files,
-            id_col="spec_id",
-            text_col="content",
-            shingle_n=config.shingle_n,
-            num_perm=config.num_perm,
-            bands=config.bands,
-            seed=config.seed,
-            tokenizer=tok,
-        )
-
-    membership = runner.run("blocking", blocking, fp_files)
+    # ---- stage: blocking membership (projection of the signature table) ----
+    membership = runner.run(
+        "blocking",
+        lambda: B.membership_from_signatures(sigs, bands=config.bands, num_perm=config.num_perm),
+        fp_files,
+    )
 
     # ---- stage: candidate pairs --------------------------------------------
     candidates = runner.run(
@@ -170,9 +175,10 @@ def run_er_pipeline(
             F.greatest("left_spec_id", "right_spec_id").alias("b"),
             "label",
         ).distinct()
-        return S.pair_features(
-            tp, docs_prep, id_col="spec_id", vector_col="features",
-            tokens_col="tokens", text_col="prefix", lev_bound=config.lev_bound,
+        # no prefilter: every labeled pair must be featurized
+        return S.pair_features_compact(
+            tp, docs_prep, num_perm=config.num_perm,
+            lev_bound=config.lev_bound, sig_prefilter=None,
         ).select("a", "b", "label", *S.FEATURE_COLS)
 
     train_pairs = runner.run("train_features", train_features, fp_labels).cache()
@@ -182,9 +188,9 @@ def run_er_pipeline(
 
     # ---- stage: candidate features + scores --------------------------------
     def cand_features():
-        return S.pair_features(
-            candidates, docs_prep, id_col="spec_id", vector_col="features",
-            tokens_col="tokens", text_col="prefix", lev_bound=config.lev_bound,
+        return S.pair_features_compact(
+            candidates, docs_prep, num_perm=config.num_perm,
+            lev_bound=config.lev_bound, sig_prefilter=config.sig_prefilter,
         ).select("a", "b", *S.FEATURE_COLS)
 
     cand_feats = runner.run("cand_features", cand_features, fp_files).cache()

@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: the "driver" is the whole machine; the 1g default
+        # result cap kills legitimate checkpoint/broadcast materializations
+        .config("spark.driver.maxResultSize", "8g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

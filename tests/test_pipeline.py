@@ -56,6 +56,17 @@ def test_f1_vs_reference_label_closure(spark, pipeline_result, tiny_tables):
     assert f1 >= 0.99, cm
 
 
+def test_f1_holdout_labels(spark, tiny_tables):
+    """The STRONG claim: run the pipeline with only the train-split labels
+    (60%) and require the scored-edge predictions + closure to recover the
+    held-out pairs — F1 vs full ground truth ≥ 0.99."""
+    files_df, truth_df, pairs_df = tiny_tables
+    train_only = pairs_df.filter(F.col("split") == "train")
+    r = P.run_er_pipeline(spark, files_df, train_only, workdir=None)
+    m = P.pairwise_f1(r["labels"], truth_df)
+    assert m["f1"] >= 0.99, m
+
+
 def test_model_quality(pipeline_result):
     model = pipeline_result["model"]
     assert model.rounds_trained > 0
