@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 from bigdataentityresolution_spark.functions.hashes import lsh_band_keys, minhash_signature
 from bigdataentityresolution_spark.functions.text import shingles, tokenize
 
+# Polynomial base combining adjacent token hashes into an n-gram hash
+# (numeric shingles). Any base coprime-ish to HASH_PRIME works; value is
+# part of the deterministic signature definition.
+GRAM_COMB = 1_000_003
+
 
 def minhash_signatures_df(
     files: DataFrame,
@@ -51,30 +56,62 @@ def minhash_signatures_df(
     (b) the estimated-Jaccard pair feature — at 10^12 rows the sketch
     (256 B) is what rides every downstream shuffle, never the text.
 
-    hash_fn: "xxhash" (default — Spark's codegen'd 64-bit hash, folded
-    into [0, HASH_PRIME) with pmod; several× cheaper per shingle) or
-    "portable" (the char-fold polynomial hash the DuckDB oracle can
-    reproduce — use where cross-engine parity matters).
+    hash_fn: "xxhash" (default — per-token codegen'd xxhash64 folded into
+    [0, HASH_PRIME), adjacent token hashes combined polynomially into
+    numeric n-gram hashes; no shingle strings are ever built) or
+    "portable" (string shingles + the char-fold polynomial hash the
+    DuckDB oracle can reproduce — use where cross-engine parity matters).
     """
     from bigdataentityresolution_spark.functions.hashes import perm_params
     from bigdataentityresolution_spark.functions.text import HASH_PRIME, portable_hash
 
     toks = tokenizer if tokenizer is not None else tokenize(text_col)
-    exploded = files.select(
-        F.col(id_col).alias("spec_id"),
-        F.explode(shingles(toks, shingle_n)).alias("shingle"),
-    )
     if hash_fn == "portable":
-        # char-fold polynomial hash — interpreted per char, but the only
-        # form the DuckDB oracle can reproduce
+        # char-fold polynomial hash over shingle STRINGS — interpreted per
+        # char, but the only form the DuckDB oracle can reproduce
+        exploded = files.select(
+            F.col(id_col).alias("spec_id"),
+            F.explode(shingles(toks, shingle_n)).alias("shingle"),
+        )
         hashed = exploded.select("spec_id", portable_hash(F.col("shingle")).alias("h"))
     else:
-        # xxhash64 on the exploded shingle rows is whole-stage-codegen'd.
-        # (A numeric token-hash-rolling variant was tried and measured 4×
-        # SLOWER: higher-order-function lambdas evaluate interpreted and
-        # re-evaluate the hashed-token array per gram.)
-        hashed = exploded.select(
-            "spec_id", F.pmod(F.xxhash64(F.col("shingle")), F.lit(HASH_PRIME)).alias("h")
+        # NUMERIC gram path (the scale default): hash each token once
+        # (xxhash64), materialize the per-token hash array as its own
+        # projection (evaluated once per row — multiple downstream
+        # references must not re-tokenize), then combine n adjacent token
+        # hashes polynomially. Shingle STRINGS are never materialized —
+        # the measured string path (array_join per gram) allocated so hard
+        # it anti-scaled with task threads. Everything stays map-side:
+        # the only shuffle is the partial-aggregated signature rows.
+        th_df = files.select(
+            F.col(id_col).alias("spec_id"),
+            F.transform(
+                toks, lambda t: F.pmod(F.xxhash64(t), F.lit(HASH_PRIME))
+            ).alias("th"),
+        )
+        if shingle_n <= 1:
+            grams = F.col("th")
+        else:
+            m = F.greatest(F.size("th") - F.lit(shingle_n - 1), F.lit(1))
+
+            def gram(i: Column) -> Column:
+                # F.get is 0-based and null-safe (no ANSI range error);
+                # short docs pad missing positions with 0 — every record
+                # stays blockable (reference: src/myHash.c:47-62).
+                acc = F.coalesce(F.get("th", i), F.lit(0).cast("long"))
+                for j in range(1, shingle_n):
+                    nxt = F.coalesce(F.get("th", i + F.lit(j)), F.lit(0).cast("long"))
+                    acc = (acc * F.lit(GRAM_COMB) + nxt) % F.lit(HASH_PRIME)
+                return acc
+
+            grams = F.transform(F.sequence(F.lit(0), m - F.lit(1)), gram)
+        hashed = th_df.select(
+            "spec_id",
+            F.explode(
+                F.when(F.size("th") > 0, grams).otherwise(
+                    F.array(F.lit(0).cast("long"))
+                )
+            ).alias("h"),
         )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh{i}")

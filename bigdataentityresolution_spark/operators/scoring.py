@@ -321,7 +321,7 @@ def fit_lr_newton(
     feature_cols: tuple[str, ...] = FEATURE_COLS,
     label_col: str = "label",
     max_rounds: int = 8,
-    ridge: float = 1e-8,
+    ridge: float = 1e-3,
     tol: float = 1e-6,
     model: LRModel | None = None,
 ) -> LRModel:
@@ -332,6 +332,12 @@ def fit_lr_newton(
     Hessian is a (d+1)² matrix — driver-solvable). Converges in ~5
     rounds where the reference's lr=0.6 GD (kept in fit_lr for parity)
     needs hundreds. Threshold bookkeeping matches fit_lr.
+
+    ridge defaults to 1e-3·n: labeled ER pairs are usually near-separable
+    in feature space, and an unregularized fit blows the weights up in a
+    noise-chosen direction (measured: w_jaccard ≈ +30, w_cosine ≈ −9.5 at
+    ridge 1e-8 — the sign on cosine was WRONG), which lets MinHash
+    noise-tail pairs cross the decision threshold.
     """
     model = model or LRModel(weights=tuple(0.0 for _ in feature_cols))
     d = len(feature_cols)

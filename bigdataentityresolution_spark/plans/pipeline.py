@@ -56,6 +56,21 @@ class ERConfig:
     self_train: bool = True
     self_train_limit_factor: int = 12  # pairs_limit = train_size × 12 (src/functs.c:23)
     edge_threshold: float | None = None  # None → model.threshold
+    # Precision-first link policy: a PREDICTED edge must clear BOTH an
+    # exact TF-IDF cosine floor and a MinHash est-Jaccard floor, not just
+    # the model threshold. Rationale: one false edge chains two clusters
+    # under transitive closure — asymmetric, unrecoverable damage — while
+    # a missed true edge is healed whenever any other member pair links
+    # the clusters. The two floors are INDEPENDENT failure modes:
+    # est-Jaccard has a sampling-noise tail (32 perms ⇒ est ≈ 0.3 on
+    # J ≈ 0.05 pairs happens ~1e-4, × millions of candidates ⇒ hundreds
+    # of false edges) but such pairs have low exact cosine; template-
+    # similar corpora produce unrelated pairs with cosine up to ~0.9 but
+    # those can't also beat the est-Jaccard floor. Measured on the bench
+    # corpus: either floor alone leaves 361/682 false edges, both
+    # together leave 0.
+    edge_cosine_floor: float | None = 0.5
+    edge_jaccard_floor: float | None = 0.45
     seed: int = 42
 
     def fingerprint(self, extra: str = "") -> str:
@@ -226,10 +241,17 @@ def run_er_pipeline(
             F.least("left_spec_id", "right_spec_id").alias("a"),
             F.greatest("left_spec_id", "right_spec_id").alias("b"),
         )
-        pred_edges = (
-            scored.filter(F.col("proba") >= F.lit(float(thr)))
-            .select("a", "b")
-            .join(neg_label_pairs, ["a", "b"], "left_anti")
+        accepted = scored.filter(F.col("proba") >= F.lit(float(thr)))
+        if config.edge_cosine_floor is not None:
+            accepted = accepted.filter(
+                F.col("f_cosine") >= F.lit(float(config.edge_cosine_floor))
+            )
+        if config.edge_jaccard_floor is not None:
+            accepted = accepted.filter(
+                F.col("f_jaccard") >= F.lit(float(config.edge_jaccard_floor))
+            )
+        pred_edges = accepted.select("a", "b").join(
+            neg_label_pairs, ["a", "b"], "left_anti"
         )
         edges = pos_label_edges.unionByName(pred_edges)
         return C.connected_components(edges, nodes=files.select("spec_id"))

@@ -15,8 +15,20 @@ Design choices for 100 TB scale (SURVEY.md §4.2):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+
+def _jvm_opts(driver_mem: str) -> str:
+    """JVM flags derived from the heap size (see comment block below)."""
+    opts = ["-XX:+UseParallelGC", f"-Xms{driver_mem}", "-XX:+AlwaysPreTouch"]
+    m = re.fullmatch(r"(\d+)g", driver_mem.strip().lower())
+    if m:
+        gb = int(m.group(1))
+        if gb >= 4:
+            opts.append(f"-Xmn{gb // 2}g")
+    return " ".join(opts)
 
 
 def get_spark(
@@ -30,6 +42,7 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     builder = (
         SparkSession.builder.master(master)
@@ -41,9 +54,28 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Throughput GC + pinned, pre-touched heap + large young gen.
+        # Three measured pathologies on the way to linear 8→32-thread
+        # scaling (all verified with -Xlog:gc on the ER bench):
+        # (1) G1's pause-time heuristics collapse under the allocation
+        #     churn of wide explodes + interpreted higher-order functions
+        #     at high task parallelism (the minhash scan ran 5-10x slower
+        #     and ANTI-scaled 8→32 threads under G1; ParallelGC made it
+        #     flat-fast).
+        # (2) default -Xms is tiny: a fresh JVM grows the heap under load
+        #     with multi-second "Allocation Failure" pauses and ergonomic
+        #     Full GCs at every growth step → -Xms = -Xmx.
+        # (3) lazily-faulted heap pages on a virtualized host turned one
+        #     full GC into a 30 s page-fault storm (89 s GC in a 219 s
+        #     run) → +AlwaysPreTouch pays that cost once at JVM startup;
+        #     a young gen of ~half the heap keeps shuffle/explode churn
+        #     from ever promoting (measured: total GC 89.3 s → 2.5 s).
+        # Batch engines want throughput collection, not low pause times.
+        .config("spark.driver.extraJavaOptions", _jvm_opts(driver_mem))
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         # local mode: the "driver" is the whole machine; the 1g default
         # result cap kills legitimate checkpoint/broadcast materializations
         .config("spark.driver.maxResultSize", "8g")

@@ -24,7 +24,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run(cpus: int) -> dict:
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+
+
+def run_once(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--er-only"],
@@ -36,11 +39,21 @@ def run(cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run(cpus: int) -> dict:
+    """Best of REPS fresh-JVM runs — JIT/GC warm-up noise on a virtualized
+    host swings single runs by 2x; min-of-N is the stable estimator."""
+    best = None
+    for i in range(REPS):
+        r = run_once(cpus)
+        print(json.dumps({"cpus": cpus, "rep": i, **r["er"]}))
+        if best is None or r["er"]["sec"] < best["er"]["sec"]:
+            best = r
+    return best
+
+
 def main() -> None:
     r8 = run(8)
-    print(json.dumps({"cpus": 8, **r8["er"]}))
     r32 = run(32)
-    print(json.dumps({"cpus": 32, **r32["er"]}))
 
     t8, t32 = r8["er"]["sec"], r32["er"]["sec"]
     eff = (t8 / t32) / 4
