@@ -92,19 +92,32 @@ def connected_components(
     spark = edges.sparkSession
     e = _canonical_edges(edges)
 
+    def orient(df: DataFrame) -> DataFrame:
+        # orientation + self-loop drop only: a cheap projection. The
+        # per-round distinct() this replaces was a full extra shuffle —
+        # the NEXT star's groupBy(collect_set) dedups identically, so
+        # rounds now cost 2 shuffles instead of 4 (latency-bound floor
+        # of the whole pipeline at bench scale).
+        return df.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).filter(F.col("a") < F.col("b"))
+
     def signature(df: DataFrame) -> tuple[int, int]:
+        # DISTINCT aggregates make the signature duplicate-insensitive,
+        # so no materialized distinct() is needed anywhere in the loop.
         row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+            F.count_distinct(F.col("a"), F.col("b")).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(distinct xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
     prev_sig = None
     for _i in range(max_iter):
-        e = _canonical_edges(_large_star(e))
-        e = _canonical_edges(_small_star(e))
-        # checkpoint every round: the signature check is an action anyway,
-        # and uncut lineage doubles per round.
+        e = orient(_large_star(e))
+        e = orient(_small_star(e))
+        # checkpoint cuts the doubling lineage and backs the signature scan
         e = e.localCheckpoint(eager=True)
         sig = signature(e)
         if sig == prev_sig:

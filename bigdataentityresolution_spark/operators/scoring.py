@@ -322,7 +322,7 @@ def fit_lr_newton(
     label_col: str = "label",
     max_rounds: int = 8,
     ridge: float = 1e-3,
-    tol: float = 1e-6,
+    tol: float = 1e-4,
     model: LRModel | None = None,
 ) -> LRModel:
     """Distributed IRLS (Newton) fit — the pipeline's production trainer.

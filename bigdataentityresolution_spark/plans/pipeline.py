@@ -52,7 +52,7 @@ class ERConfig:
     vocab_k: int = 1000
     lev_bound: int = 128
     sig_prefilter: float = 0.2  # drop candidates with est-Jaccard below this
-    newton_rounds: int = 8
+    newton_rounds: int = 5  # IRLS is quadratic — 5 rounds reach |step| < 1e-4
     self_train: bool = True
     self_train_limit_factor: int = 12  # pairs_limit = train_size × 12 (src/functs.c:23)
     edge_threshold: float | None = None  # None → model.threshold
@@ -129,17 +129,21 @@ def run_er_pipeline(
         p = TI.postings(files, id_col="spec_id", text_col="content", tokenizer=tok)
         v = TI.vocab(p, n_docs)
         top = TI.top_k_vocab(v, config.vocab_k)
-        # tfidf operators speak "doc_id" internally; map back to spec_id
-        vecs = TI.doc_vectors(p, top, n_docs).withColumnRenamed("doc_id", "spec_id")
+        # tfidf operators speak "doc_id" internally; map back to spec_id.
+        # Int-keyed float vectors: this map rides every pair shuffle —
+        # payload size is the scaling lever (see doc_vectors_indexed).
+        vecs = TI.doc_vectors_indexed(p, top, n_docs).withColumnRenamed(
+            "doc_id", "spec_id"
+        )
+        empty_map = F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<float>")
+        )
         return (
             files.select(
                 "spec_id", F.substring("content", 1, config.lev_bound).alias("prefix")
             )
             .join(vecs, "spec_id", "left")
-            .withColumn(
-                "features",
-                F.coalesce("features", F.map_from_arrays(F.array(), F.array())),
-            )
+            .withColumn("features", F.coalesce("features", empty_map))
             .join(sigs, "spec_id")
         )
 

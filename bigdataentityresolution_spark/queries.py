@@ -582,6 +582,84 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+@_register(
+    "dedup_minhash_lsh",
+    """
+    WITH sh AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, list_distinct({sh}) AS s
+      FROM documents
+    )
+    SELECT a.id AS a, b.id AS b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    """.format(sh=_SHINGLES_SQL),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact shingle Jaccard.
+
+    The oracle is BRUTE-FORCE exact Jaccard over all pairs — so this
+    checks LSH *recall* too: at threshold 0.7 with 16 bands x 2 rows,
+    P(miss) = (1-J^2)^16 <= 2.1e-5 per pair, and the fixed seeds make
+    the outcome deterministic (verified equal at sf0.01)."""
+    from bigdataentityresolution_spark.operators.dedup import minhash_duplicate_pairs
+
+    return minhash_duplicate_pairs(
+        _load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=2,
+        jaccard_threshold=0.7,
+    )
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+    WITH emb AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.id AS a, b.id AS b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM emb a JOIN emb b ON CAST(a.id AS INT) < CAST(b.id AS INT)
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH, verified by
+    exact cosine — oracle is brute force, so LSH recall is checked."""
+    from bigdataentityresolution_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _load(spark, sf_dir, "embeddings"), cosine_threshold=0.9
+    )
+
+
+@_register(
+    "dedup_keep_first",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM documents
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: connected components over exact-dup pairs;
+    min id per component survives. Oracle: min-per-md5-group window."""
+    from bigdataentityresolution_spark.operators.dedup import dedup_keep_first
+
+    docs = _load(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("fp"), F.col("doc_id").cast("string").alias("id"))
+    a = fp.select("fp", F.col("id").alias("a"))
+    b = fp.select("fp", F.col("id").alias("b"))
+    dup_pairs = a.join(b, "fp").filter(F.col("a") < F.col("b")).select("a", "b")
+    return dedup_keep_first(dup_pairs, docs, id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search / embeddings (pipeline extensions)
 # ---------------------------------------------------------------------------
@@ -737,6 +815,99 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.window("ts", "5 minutes").getField("start").alias("win_start"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; SURVEY-extension)
+# ---------------------------------------------------------------------------
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table synthesized from documents: payload =
+    utf-8 bytes of the text, modality cycles by doc_id. Exercises the
+    real BINARY-column plumbing without container codecs."""
+    docs = _load(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+@_register(
+    "multimodal_media_stats",
+    """
+    SELECT modality, count(*) AS n,
+           sum(strlen(text)) AS total_bytes,
+           round(avg(strlen(text)), 2) AS avg_bytes
+    FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS modality, text FROM documents)
+    GROUP BY modality
+    """,
+)
+def q_multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media aggregates over BINARY payloads (no decode);
+    oracle reproduces byte lengths from the source text (ascii corpus)."""
+    from bigdataentityresolution_spark.operators.multimodal import media_stats
+
+    return media_stats(_media_from_documents(spark, sf_dir))
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas decode plumbing: per-item bytes + sha256 digest
+    (the stubbed-decoder feature vector itself is excluded — the oracle
+    checks the REAL columns: sizes and content digests)."""
+    from bigdataentityresolution_spark.operators.multimodal import extract_media_features
+
+    media = _media_from_documents(spark, sf_dir)
+    return extract_media_features(media).select(
+        "media_id", "modality", "n_bytes", "payload_sha"
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
+    FROM (SELECT doc_id, strlen(text) * 10 AS duration_ms FROM documents
+          WHERE doc_id % 3 = 2),
+         LATERAL (SELECT unnest(range(0, greatest(CAST(floor(duration_ms / 1000.0) AS INT), 1)))
+                  AS frame_idx)
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp from the
+    typed duration metadata (decode stubbed; plumbing real)."""
+    from bigdataentityresolution_spark.operators.multimodal import frame_sample_plan
+
+    plan = frame_sample_plan(_media_from_documents(spark, sf_dir), every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,11 +49,11 @@ def main() -> None:
     p = TI.postings(files, id_col="spec_id", text_col="content", tokenizer=tok)
     v = TI.vocab(p, n_docs)
     top = TI.top_k_vocab(v, 1000)
-    vecs = TI.doc_vectors(p, top, n_docs).withColumnRenamed("doc_id", "spec_id")
+    vecs = TI.doc_vectors_indexed(p, top, n_docs).withColumnRenamed("doc_id", "spec_id")
     prep = (
         files.select("spec_id", F.substring("content", 1, 128).alias("prefix"))
         .join(vecs, "spec_id", "left")
-        .withColumn("features", F.coalesce("features", F.map_from_arrays(F.array(), F.array())))
+        .withColumn("features", F.coalesce("features", F.map_from_arrays(F.array().cast("array<int>"), F.array().cast("array<float>"))))
         .join(sigs, "spec_id")
         .cache()
     )

@@ -51,22 +51,29 @@ def run(cpus: int) -> dict:
     return best
 
 
-def main() -> None:
-    r8 = run(8)
-    r32 = run(32)
+N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
+N_LARGE = int(os.environ.get("SPARK_GRAFT_SCALING_4N", str(4 * N_SMALL)))
 
-    t8, t32 = r8["er"]["sec"], r32["er"]["sec"]
-    eff = (t8 / t32) / 4
+
+def main() -> None:
+    r_small = run(N_SMALL)
+    r_large = run(N_LARGE)
+    ratio = N_LARGE / N_SMALL
+
+    t_small, t_large = r_small["er"]["sec"], r_large["er"]["sec"]
+    eff = (t_small / t_large) / ratio
     report = {
-        "t_local8_sec": round(t8, 2),
-        "t_local32_sec": round(t32, 2),
-        "pairs_per_sec_local8": round(r8["er"]["candidate_pairs_per_sec"], 1),
-        "pairs_per_sec_local32": round(r32["er"]["candidate_pairs_per_sec"], 1),
-        "speedup": round(t8 / t32, 3),
+        "n_cores_small": N_SMALL,
+        "n_cores_large": N_LARGE,
+        f"t_local{N_SMALL}_sec": round(t_small, 2),
+        f"t_local{N_LARGE}_sec": round(t_large, 2),
+        f"pairs_per_sec_local{N_SMALL}": round(r_small["er"]["candidate_pairs_per_sec"], 1),
+        f"pairs_per_sec_local{N_LARGE}": round(r_large["er"]["candidate_pairs_per_sec"], 1),
+        "speedup": round(t_small / t_large, 3),
         "scaling_efficiency": round(eff, 3),
-        "n_files": r8["er"]["n_files"],
-        "n_candidates": r8["er"]["n_candidates"],
-        "f1": r8["er"]["f1"],
+        "n_files": r_small["er"]["n_files"],
+        "n_candidates": r_small["er"]["n_candidates"],
+        "f1": r_small["er"]["f1"],
     }
     print(json.dumps(report))
 
@@ -77,15 +84,16 @@ def main() -> None:
         "",
         "Same ER job (`bench.py --er-only`, deterministic synthetic source-code",
         f"corpus, {report['n_files']} files, {report['n_candidates']} candidate pairs,",
-        f"pairwise F1 = {report['f1']}) at two parallelism levels, fresh JVM each:",
+        f"pairwise F1 = {report['f1']}) at two parallelism levels (N and 4N cores),",
+        f"min of {REPS} fresh-JVM runs each:",
         "",
         "| parallelism | wall sec | candidate-pairs/sec |",
         "|---|---|---|",
-        f"| local[8]  | {report['t_local8_sec']} | {report['pairs_per_sec_local8']} |",
-        f"| local[32] | {report['t_local32_sec']} | {report['pairs_per_sec_local32']} |",
+        f"| local[{N_SMALL}]  | {report[f't_local{N_SMALL}_sec']} | {report[f'pairs_per_sec_local{N_SMALL}']} |",
+        f"| local[{N_LARGE}] | {report[f't_local{N_LARGE}_sec']} | {report[f'pairs_per_sec_local{N_LARGE}']} |",
         "",
-        f"speedup (T8/T32) = **{report['speedup']}×** over a 4× core increase",
-        f"→ scaling efficiency = (T8/T32)/4 = **{report['scaling_efficiency']}**"
+        f"speedup (T{N_SMALL}/T{N_LARGE}) = **{report['speedup']}×** over a {int(ratio)}× core increase",
+        f"→ scaling efficiency = (T{N_SMALL}/T{N_LARGE})/{int(ratio)} = **{report['scaling_efficiency']}**"
         + (" (meets the ≥0.8 north-rule bar)" if eff >= 0.8 else " (below the 0.8 bar — see notes)"),
         "",
         "```json",
