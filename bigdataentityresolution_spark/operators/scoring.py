@@ -149,7 +149,14 @@ def pair_features_compact(
     BEFORE the expensive features — label-driven edges never pass through
     here, so blocking recall is unaffected and closure heals stragglers.
     """
-    side = docs_compact.select(
+    # shuffle_hash hint: NEVER let the planner broadcast the doc-state
+    # side. Its size estimate is unreliable before the cache materializes
+    # (map columns), and a mis-planned broadcast of a corpus-scale table
+    # is fatal (measured: a "small-looking" 384k-row side materialized a
+    # 10.8 GiB broadcast and killed the job). Shuffled-hash join is the
+    # plan that survives 10^12 rows: pairs shuffle on the id, docs build
+    # per-partition hash tables, no sort of the pair side.
+    side = docs_compact.hint("shuffle_hash").select(
         F.col("spec_id").alias("_id"),
         F.col("sig").alias("_sig"),
         F.col("features").alias("_vec"),

@@ -138,13 +138,16 @@ def run_er_pipeline(
         empty_map = F.map_from_arrays(
             F.array().cast("array<int>"), F.array().cast("array<float>")
         )
+        # shuffle_hash hints: these are corpus×corpus equi-joins — the
+        # planner must never try to broadcast either side (see
+        # pair_features_compact for the measured failure).
         return (
             files.select(
                 "spec_id", F.substring("content", 1, config.lev_bound).alias("prefix")
             )
-            .join(vecs, "spec_id", "left")
+            .join(vecs.hint("shuffle_hash"), "spec_id", "left")
             .withColumn("features", F.coalesce("features", empty_map))
-            .join(sigs, "spec_id")
+            .join(sigs.hint("shuffle_hash"), "spec_id")
         )
 
     docs_prep = runner.run("prep", prep, fp_files)
