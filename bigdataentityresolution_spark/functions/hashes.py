@@ -102,32 +102,69 @@ def lsh_band_keys_sql(signature_expr: str, bands: int, rows_per_band: int) -> st
 
 
 def simhash64(tokens_col: Column) -> Column:
-    """64-bit SimHash of a token array as BIGINT.
+    """60-bit SimHash of a token array as BIGINT.
 
-    Two portable 32-ish-bit hashes per token (seeds 1, 2) are concatenated
-    into a 60-bit fingerprint space: bit b of the result is 1 iff the
-    majority of tokens have bit b set in their combined hash. Near-dup
+    Two portable ~30-bit hashes per token (seeds 1, 2) supply bits 0-29
+    and 30-59 respectively: bit b of the result is 1 iff the SUM over
+    tokens of (±1 per token-bit) is positive (strict majority). Near-dup
     docs differ in few bits (hamming distance).
-    """
-    h1 = F.transform(tokens_col, lambda t: portable_hash(t, seed=1))
-    h2 = F.transform(tokens_col, lambda t: portable_hash(t, seed=2))
 
-    def bit_vote(src: Column, shift: int) -> Column:
-        return F.aggregate(
-            src,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, shift) % 2 == 1, 1).otherwise(-1),
+    Single pass over the token array: each token is char-hashed ONCE per
+    seed, its 60 ±1 votes merged into an array accumulator, and the
+    final fingerprint assembled from the vote signs. (The r1 shape ran
+    60 separate aggregate passes, each re-hashing every token — 60× the
+    char-fold work; VERDICT.md 'What's wrong' #3.)
+    """
+
+    def tok_votes(t: Column) -> Column:
+        h1 = portable_hash(t, seed=1)
+        h2 = portable_hash(t, seed=2)
+        return F.array(
+            *[
+                (F.shiftright(h1 if b < 30 else h2, b if b < 30 else b - 30) % 2 * 2 - 1).cast("long")
+                for b in range(60)
+            ]
         )
 
-    bits = []
-    for b in range(60):
-        src, shift = (h1, b) if b < 30 else (h2, b - 30)
-        vote = bit_vote(src, shift)
-        bits.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for c in bits[1:]:
-        out = out + c
-    return out
+    votes = F.aggregate(
+        F.transform(tokens_col, tok_votes),
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, tv: F.zip_with(acc, tv, lambda a, v: a + v),
+    )
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    return F.aggregate(
+        F.zip_with(votes, pows, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_sql_ctes(docs_table: str, id_col: str, tokens_expr: str) -> str:
+    """DuckDB CTE block computing (doc_id, s) = per-doc SimHash, the twin
+    of :func:`simhash64`: explode tokens, hash each once per seed, 60
+    ±1 bit votes via unnest(range)+group by, pack sign bits. Docs with
+    zero tokens get fingerprint 0 (Spark: empty-array aggregate)."""
+    h1 = portable_hash_sql("t", seed=1)
+    h2 = portable_hash_sql("t", seed=2)
+    return f"""
+    _toks AS (
+      SELECT {id_col} AS doc_id, unnest({tokens_expr}) AS t FROM {docs_table}
+    ), _th AS (
+      SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM _toks
+    ), _votes AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN b.b < 30 THEN ((h1 >> b.b) & 1)
+                      ELSE ((h2 >> (b.b - 30)) & 1) END * 2 - 1) AS v
+      FROM _th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+      GROUP BY doc_id, b.b
+    ), _sh0 AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS s
+      FROM _votes GROUP BY doc_id
+    ), _sh AS (
+      SELECT d.{id_col} AS doc_id, CAST(coalesce(_sh0.s, 0) AS BIGINT) AS s
+      FROM {docs_table} d LEFT JOIN _sh0 ON d.{id_col} = _sh0.doc_id
+    )"""
 
 
 def hamming64(a: Column, b: Column) -> Column:

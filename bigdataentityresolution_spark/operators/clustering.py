@@ -77,6 +77,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 50,
     checkpoint_every: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(spec_id, cluster_id) — component labels; cluster_id = min member id.
 
@@ -86,11 +87,26 @@ def connected_components(
     matchesAdd src/myMatches.c:29-53).
 
     Alternates large-star/small-star until the edge set reaches a fixed
-    point (signature: count + sum of pair hashes). localCheckpoint every
-    few rounds cuts the lineage (SURVEY.md §7.2: iterative closure cost).
+    point (signature: count + xor of pair hashes). The checkpoint + the
+    signature job run every ``checkpoint_every`` rounds, NOT every round:
+    each driver barrier (eager materialization + a collect) is latency
+    the loop pays serially, and the star fixpoint is idempotent — extra
+    rounds past convergence are cheap no-ops, so a late fixpoint
+    detection costs less than per-round barriers (r1 profiling: the CC
+    loops were a flat ~16 s regardless of core count).
+
+    checkpoint_dir: when set, round state is written as RELIABLE parquet
+    (round_<k>/ + _cc_manifest.json) instead of localCheckpoint, and a
+    rerun with the same dir RESUMES from the last completed round —
+    localCheckpoint blocks live on executors, so on a real cluster one
+    executor loss kills a multi-hour closure (VERDICT.md 'What's wrong'
+    #4). The caller owns dir lifecycle (pass a per-input-fingerprint
+    path; stale state for different edges is the caller's bug).
     """
+    import json
+    import os
+
     spark = edges.sparkSession
-    e = _canonical_edges(edges)
 
     def orient(df: DataFrame) -> DataFrame:
         # orientation + self-loop drop only: a cheap projection. The
@@ -113,13 +129,43 @@ def connected_components(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    prev_sig = None
-    for _i in range(max_iter):
-        e = orient(_large_star(e))
-        e = orient(_small_star(e))
-        # checkpoint cuts the doubling lineage and backs the signature scan
-        e = e.localCheckpoint(eager=True)
+    e = _canonical_edges(edges)
+    rounds_done = 0
+    prev_sig: tuple[int, int] | None = None
+
+    manifest_path = (
+        os.path.join(checkpoint_dir, "_cc_manifest.json") if checkpoint_dir else None
+    )
+    if manifest_path and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                m = json.load(f)
+            rpath = os.path.join(checkpoint_dir, f"round_{m['round']}")
+            if os.path.exists(os.path.join(rpath, "_SUCCESS")):
+                e = spark.read.parquet(rpath)
+                rounds_done = int(m["round"])
+                prev_sig = tuple(m["sig"]) if m.get("sig") else None
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass  # unreadable state → recompute from scratch
+
+    while rounds_done < max_iter:
+        for _ in range(checkpoint_every):
+            e = orient(_large_star(e))
+            e = orient(_small_star(e))
+            rounds_done += 1
+        if checkpoint_dir:
+            rpath = os.path.join(checkpoint_dir, f"round_{rounds_done}")
+            e.write.mode("overwrite").parquet(rpath)
+            e = spark.read.parquet(rpath)
+        else:
+            # cuts the doubling lineage and backs the signature scan
+            e = e.localCheckpoint(eager=True)
         sig = signature(e)
+        if manifest_path:
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"round": rounds_done, "sig": list(sig)}, f)
+            os.replace(tmp, manifest_path)  # atomic: kill-safe
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -144,6 +190,7 @@ def connected_components(
 def closure_from_labeled_pairs(
     labeled_pairs: DataFrame,
     nodes: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(labels, neg_cluster_edges) from a labels relation
     (left_spec_id, right_spec_id, label ∈ {0,1}).
@@ -164,7 +211,7 @@ def closure_from_labeled_pairs(
         nodes = labeled_pairs.select(F.col("left_spec_id").alias("spec_id")).unionByName(
             labeled_pairs.select(F.col("right_spec_id").alias("spec_id"))
         ).distinct()
-    labels = connected_components(pos, nodes=nodes)
+    labels = connected_components(pos, nodes=nodes, checkpoint_dir=checkpoint_dir)
 
     neg = labeled_pairs.filter(F.col("label") == 0).select(
         F.col("left_spec_id").alias("l"), F.col("right_spec_id").alias("r")

@@ -82,25 +82,47 @@ def simhash_duplicate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    per_block_cap: int | None = 1024,
 ) -> DataFrame:
     """(a, b, hamming) pairs with SimHash hamming distance ≤ max_hamming.
 
-    Banding: the 60-bit fingerprint splits into 4 × 15-bit chunks; by
-    pigeonhole any pair with hamming ≤ 3·(4-1) shares at least one exact
-    chunk when hamming ≤ 3 per... precisely: hamming ≤ 3 guarantees a
-    shared chunk of the 4; larger max_hamming values trade recall. Each
-    chunk is a blocking key → equi-join, then exact popcount verify.
+    Banding: the 60-bit fingerprint splits into n_chunks equal chunks;
+    by pigeonhole a pair with hamming < n_chunks MUST share at least one
+    exact chunk, so max_hamming ≤ n_chunks - 1 gives GUARANTEED recall
+    (the r1 default max_hamming=8 with 4 chunks silently traded recall —
+    hamming 4..8 errors can spread 1-per-chunk and be missed). Each
+    chunk value is a blocking key → equi-join, then exact popcount
+    verify.
+
+    per_block_cap bounds the quadratic blow-up of a hot chunk (blank /
+    templated docs share whole fingerprints): a window keeps the first
+    cap members per chunk (deterministic by id) — same defusal as
+    blocking.candidate_pairs (VERDICT.md 'What's wrong' #3).
     """
+    assert max_hamming < n_chunks, "recall guarantee needs max_hamming < n_chunks"
+    chunk_bits = 60 // n_chunks
     d = docs.select(
         F.col(id_col).cast("string").alias("spec_id"),
         simhash64(tokenize(text_col)).alias("sh"),
     )
     chunks = [
-        F.concat_ws(":", F.lit(str(i)), (F.shiftright("sh", 15 * i) % F.lit(1 << 15)))
-        for i in range(4)
+        F.concat_ws(
+            ":", F.lit(str(i)), (F.shiftright("sh", chunk_bits * i) % F.lit(1 << chunk_bits))
+        )
+        for i in range(n_chunks)
     ]
     mem = d.select("spec_id", F.col("sh"), F.explode(F.array(*chunks)).alias("block_key"))
+    if per_block_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block_key").orderBy("spec_id")
+        mem = (
+            mem.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= per_block_cap)
+            .drop("_rn")
+        )
     a = mem.select(F.col("spec_id").alias("a"), F.col("sh").alias("sh_a"), "block_key")
     b = mem.select(F.col("spec_id").alias("b"), F.col("sh").alias("sh_b"), "block_key")
     return (
@@ -138,17 +160,21 @@ def embedding_near_dup_pairs(
     bands: int = 8,
     rows_per_band: int = 2,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(a, b, cosine) near-dup embedding pairs via random-hyperplane LSH.
 
-    sign(v · r_i) bits → band keys → candidates → exact cosine verify.
-    Hyperplanes are deterministic pseudo-random expressions derived from
-    dimension index and seed (no Python in the plan).
-    """
+    sign(v · r_i) bits → band keys → candidates → exact cosine verify
+    in DOUBLE precision (float dot products diverge from the DuckDB /
+    numpy oracle in the last ulp). Hyperplanes are deterministic
+    pseudo-random expressions derived from dimension index and seed (no
+    Python in the plan). Pass ``dim`` to avoid the driver-side probe
+    (a plan break per call at scale)."""
     import numpy as np
 
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    embeddings = embeddings.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 

@@ -189,6 +189,16 @@ def pair_features_compact(
                 levenshtein_bounded(F.col("_prefix_a"), F.col("_prefix_b"), lev_bound),
             ).otherwise(F.lit(0.0)),
         )
+        # vocab coverage diagnostic (NOT a model feature): min map size of
+        # the pair. A doc whose tokens all fall outside the top-k vocab
+        # has an empty TF-IDF map and f_cosine identically 0 — edge
+        # policies must not let a cosine floor hard-veto such pairs
+        # (ADVICE.md r1: recall can silently collapse on vocab-diverse
+        # corpora).
+        .withColumn(
+            "f_vocab_cov",
+            F.least(F.size(F.map_keys("_vec_a")), F.size(F.map_keys("_vec_b"))),
+        )
     )
     return out.drop("_sig_a", "_sig_b", "_vec_a", "_vec_b", "_prefix_a", "_prefix_b")
 
@@ -323,6 +333,16 @@ def fit_lr(
     return model
 
 
+def _ridge_penalty(d: int, ridge: float, n_total: int) -> np.ndarray:
+    """(d+1)² ridge penalty, intercept UNPENALIZED (conventional ridge;
+    the r1 version shrank the bias toward 0 and distorted the predicted
+    base rate — ADVICE.md). The n-scaling keeps the penalty's relative
+    strength constant as the pair count grows."""
+    p = np.eye(d + 1) * (ridge * max(1.0, float(n_total)))
+    p[0, 0] = 0.0
+    return p
+
+
 def fit_lr_newton(
     pairs: DataFrame,
     feature_cols: tuple[str, ...] = FEATURE_COLS,
@@ -331,20 +351,33 @@ def fit_lr_newton(
     ridge: float = 1e-3,
     tol: float = 1e-4,
     model: LRModel | None = None,
+    driver_fit_max: int | None = 2_000_000,
 ) -> LRModel:
-    """Distributed IRLS (Newton) fit — the pipeline's production trainer.
+    """IRLS (Newton) fit — the pipeline's production trainer.
 
-    Each round is ONE shuffle: an applyInPandas kernel emits per-batch
-    partial gradient + Hessian sums (feature count is tiny, so the
-    Hessian is a (d+1)² matrix — driver-solvable). Converges in ~5
-    rounds where the reference's lr=0.6 GD (kept in fit_lr for parity)
-    needs hundreds. Threshold bookkeeping matches fit_lr.
+    Two execution paths, same math:
+    - n ≤ driver_fit_max (the common case: labeled pairs are tiny next
+      to the corpus): ONE Arrow toPandas collect, all Newton rounds in
+      local numpy. Removes max_rounds driver-barrier jobs — profiling
+      showed the per-round applyInPandas+collect cycle was the single
+      largest NON-scaling stage of the ER pipeline (13-30 s wall at
+      bench scale regardless of core count, pure scheduling latency).
+      The collected payload is (d+1) float64s per row — 2M pairs ≈ 64 MB.
+    - larger: distributed rounds — an applyInPandas kernel emits
+      per-batch partial gradient + Hessian sums (feature count is tiny,
+      so the Hessian is a (d+1)² matrix — driver-solvable), ONE shuffle
+      per round. Converges in ~5 rounds where the reference's lr=0.6 GD
+      (kept in fit_lr for parity) needs hundreds.
 
-    ridge defaults to 1e-3·n: labeled ER pairs are usually near-separable
-    in feature space, and an unregularized fit blows the weights up in a
-    noise-chosen direction (measured: w_jaccard ≈ +30, w_cosine ≈ −9.5 at
-    ridge 1e-8 — the sign on cosine was WRONG), which lets MinHash
-    noise-tail pairs cross the decision threshold.
+    Threshold bookkeeping matches fit_lr. The penalty is applied per
+    round inside the Hessian as ridge·n·I with the INTERCEPT diagonal
+    zeroed (see _ridge_penalty).
+
+    ridge=1e-3 (×n inside the Hessian): labeled ER pairs are usually
+    near-separable in feature space, and an unregularized fit blows the
+    weights up in a noise-chosen direction (measured: w_jaccard ≈ +30,
+    w_cosine ≈ −9.5 at ridge 1e-8 — the sign on cosine was WRONG), which
+    lets MinHash noise-tail pairs cross the decision threshold.
     """
     model = model or LRModel(weights=tuple(0.0 for _ in feature_cols))
     d = len(feature_cols)
@@ -355,6 +388,35 @@ def fit_lr_newton(
     n_total = df.count()
     if n_total == 0:
         return model
+
+    if driver_fit_max is not None and n_total <= driver_fit_max:
+        pdf = df.toPandas()
+        df.unpersist()
+        x = np.column_stack(
+            [np.ones(len(pdf)), pdf[list(feature_cols)].to_numpy(dtype=np.float64)]
+        )
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        n_pos = int((y == 1.0).sum())
+        n_neg = int((y == 0.0).sum())
+        beta = np.concatenate([[model.bias], model.w()])
+        penalty = _ridge_penalty(d, ridge, n_total)
+        for _ in range(max_rounds):
+            p = 1.0 / (1.0 + np.exp(-(x @ beta)))
+            g = x.T @ (p - y)
+            h = x.T @ (x * (p * (1.0 - p))[:, None]) + penalty
+            step = np.linalg.solve(h, g)
+            beta = beta - step
+            model = replace(
+                model,
+                weights=tuple(float(v) for v in beta[1:]),
+                bias=float(beta[0]),
+                rounds_trained=model.rounds_trained + 1,
+            )
+            model = update_threshold(model, n_pos, n_neg)
+            if float(np.abs(step).max()) < tol:
+                break
+        return model
+
     label_counts = {
         int(r["label"]): r["n"]
         for r in df.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -399,7 +461,7 @@ def fit_lr_newton(
         h = np.array(
             [[sum(r[f"h{i}_{j}"] for r in stats) for j in range(d + 1)] for i in range(d + 1)]
         )
-        h += ridge * np.eye(d + 1) * max(1.0, n_total)
+        h += _ridge_penalty(d, ridge, n_total)
         step = np.linalg.solve(h, g)
         beta = beta - step
         model = replace(

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,8 +171,11 @@ def run_er_pipeline(
     fp_labels = config.fingerprint("labels")
 
     def closure():
+        cc_dir = (
+            os.path.join(workdir, f"cc_closure_{fp_labels}") if workdir else None
+        )
         labels, neg = C.closure_from_labeled_pairs(
-            labeled_pairs, nodes=files.select("spec_id")
+            labeled_pairs, nodes=files.select("spec_id"), checkpoint_dir=cc_dir
         )
         return labels.withColumn("_kind", F.lit("label")).unionByName(
             neg.select(
@@ -213,7 +217,7 @@ def run_er_pipeline(
         return S.pair_features_compact(
             candidates, docs_prep, num_perm=config.num_perm,
             lev_bound=config.lev_bound, sig_prefilter=config.sig_prefilter,
-        ).select("a", "b", *S.FEATURE_COLS)
+        ).select("a", "b", *S.FEATURE_COLS, "f_vocab_cov")
 
     cand_feats = runner.run("cand_features", cand_features, fp_files).cache()
     scored = S.predict(cand_feats, model)
@@ -250,8 +254,14 @@ def run_er_pipeline(
         )
         accepted = scored.filter(F.col("proba") >= F.lit(float(thr)))
         if config.edge_cosine_floor is not None:
+            # The floor's precondition is a meaningful TF-IDF map on both
+            # sides: a pair where either doc has an EMPTY vocab projection
+            # has f_cosine identically 0 and is exempted (it still must
+            # clear the model threshold + est-Jaccard floor) — otherwise
+            # vocab-diverse corpora lose recall silently (ADVICE.md r1).
             accepted = accepted.filter(
-                F.col("f_cosine") >= F.lit(float(config.edge_cosine_floor))
+                (F.col("f_cosine") >= F.lit(float(config.edge_cosine_floor)))
+                | (F.col("f_vocab_cov") == 0)
             )
         if config.edge_jaccard_floor is not None:
             accepted = accepted.filter(
@@ -261,7 +271,14 @@ def run_er_pipeline(
             neg_label_pairs, ["a", "b"], "left_anti"
         )
         edges = pos_label_edges.unionByName(pred_edges)
-        return C.connected_components(edges, nodes=files.select("spec_id"))
+        cc_dir = (
+            os.path.join(workdir, f"cc_final_{config.fingerprint('cluster' + str(thr))}")
+            if workdir
+            else None
+        )
+        return C.connected_components(
+            edges, nodes=files.select("spec_id"), checkpoint_dir=cc_dir
+        )
 
     final_labels = runner.run(
         "cluster", final_cluster, config.fingerprint("cluster" + str(thr))

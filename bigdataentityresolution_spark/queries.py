@@ -174,15 +174,24 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "filter_token_admission",
     f"""
-    SELECT doc_id, {X.admitted_tokens_sql('text')} AS toks FROM documents
+    SELECT doc_id, pos, tok FROM (
+      SELECT doc_id, unnest({X.admitted_tokens_sql('text')}) AS tok,
+             generate_subscripts({X.admitted_tokens_sql('text')}, 1) AS pos
+      FROM documents
+    )
     """,
 )
 def q_token_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """checkWord parity: alnum-only, lowercased, exact stopword drop
-    (src/boWords.c:251-275; deliberate strstr-quirk fix SURVEY.md §7.2)."""
-    return _load(spark, sf_dir, "documents").select(
-        "doc_id", X.admitted_tokens("text").alias("toks")
-    )
+    (src/boWords.c:251-275; deliberate strstr-quirk fix SURVEY.md §7.2).
+
+    Output is EXPLODED to one row per (doc, position, token): the driver's
+    value-hash canonicalizer cannot factorize ARRAY cells (r01 err), and
+    rows preserve order information via the 1-based pos column."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(X.admitted_tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
 
 
 @_register(
@@ -524,23 +533,42 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_exact",
     """
-    SELECT fp, count(*) AS n_dups, list_sort(list(doc_id)) AS doc_ids
-    FROM (SELECT md5(text) AS fp, doc_id FROM documents)
-    GROUP BY fp HAVING count(*) > 1
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ), g AS (
+      SELECT md5(text) AS fp, count(*) AS n_dups, list_sort(list(doc_id)) AS ids
+      FROM u GROUP BY md5(text) HAVING count(*) > 1
+    )
+    SELECT fp, n_dups, unnest(ids) AS doc_id FROM g
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with guaranteed duplicates: the corpus is
+    self-unioned under shifted ids (deterministic), so the oracle check is
+    non-vacuous (r01 passed on 0=0 rows). Output exploded to one row per
+    duplicate-group member (driver canonicalizer can't hash ARRAY cells)."""
     from bigdataentityresolution_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_load(spark, sf_dir, "documents"))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return exact_duplicates(dup).select(
+        "fp", "n_dups", F.explode("doc_ids").alias("doc_id")
+    )
 
 
 @_register(
     "dedup_ngram_jaccard",
     """
-    WITH sh AS (
-      SELECT doc_id, lang, list_distinct({sh}) AS s
-      FROM documents WHERE doc_id % 4 = 0
+    WITH base AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0
+    ), u AS (
+      SELECT doc_id, lang, text FROM base
+      UNION ALL SELECT doc_id + 1000000, lang, text FROM base
+    ), sh AS (
+      SELECT doc_id, lang, list_distinct({sh}) AS s FROM u
     )
     SELECT a.doc_id AS a, b.doc_id AS b,
            round(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -551,12 +579,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(sh=_SHINGLES_SQL),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs over lang-blocked candidates."""
+    """Exact n-gram Jaccard near-dup pairs over lang-blocked candidates.
+
+    The sampled corpus is self-unioned under shifted ids so duplicate
+    pairs exist by construction — the r01 oracle passed vacuously (0=0)."""
     from bigdataentityresolution_spark.functions.similarity import jaccard_arrays
 
-    d = (
+    base = (
         _load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "lang", "text")
+    )
+    d = (
+        base.unionByName(base.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
         .select(
             "doc_id", "lang",
             F.array_distinct(X.shingles(X.tokenize("text"), 2)).alias("s"),
@@ -573,13 +608,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_simhash")  # rows-only: 60-bit majority votes are impractical in SQL
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents
+    ),{H.simhash_sql_ctes("u", "doc_id", X.tokenize_sql("text"))}
+    SELECT CAST(a.doc_id AS VARCHAR) AS a, CAST(b.doc_id AS VARCHAR) AS b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM _sh a JOIN _sh b ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs vs a BRUTE-FORCE hamming oracle: DuckDB
+    recomputes every 60-bit fingerprint (same token hashes, same bit
+    votes) and enumerates ALL pairs with hamming ≤ 3 — so the check
+    covers both fingerprint parity and banding recall (guaranteed by
+    pigeonhole: hamming < n_chunks ⇒ a shared chunk). Self-union under
+    shifted ids makes hamming-0 pairs exist by construction (r01 row
+    was rows-only AND the banding at max_hamming=12 could miss pairs)."""
     from bigdataentityresolution_spark.operators.dedup import simhash_duplicate_pairs
 
-    return simhash_duplicate_pairs(
-        _load(spark, sf_dir, "documents"), max_hamming=12
-    ).orderBy("a", "b")
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    u = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    return simhash_duplicate_pairs(u, max_hamming=3).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @_register(
@@ -618,25 +674,33 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_embedding_cosine",
     """
-    WITH emb AS (SELECT CAST(vec_id AS VARCHAR) AS id,
-                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+    ), emb AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+                      CAST(embedding AS DOUBLE[]) AS v FROM u)
     SELECT a.id AS a, b.id AS b,
            round(list_dot_product(a.v, b.v) /
                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                  6) AS cosine
-    FROM emb a JOIN emb b ON CAST(a.id AS INT) < CAST(b.id AS INT)
+    FROM emb a JOIN emb b ON a.id < b.id
     WHERE list_dot_product(a.v, b.v) /
           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH, verified by
-    exact cosine — oracle is brute force, so LSH recall is checked."""
+    exact cosine — oracle is brute force, so LSH recall is checked.
+
+    The corpus is self-unioned under shifted ids (identical copies ⇒
+    cosine 1.0 pairs by construction) so the check is non-vacuous; pair
+    orientation is lexicographic on the STRING ids on BOTH sides (the r01
+    oracle ordered numerically — latent mismatch, ADVICE.md)."""
     from bigdataentityresolution_spark.operators.dedup import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(
-        _load(spark, sf_dir, "embeddings"), cosine_threshold=0.9
-    )
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    return embedding_near_dup_pairs(u, cosine_threshold=0.9)
 
 
 @_register(
@@ -847,8 +911,8 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_media_stats",
     """
     SELECT modality, count(*) AS n,
-           sum(strlen(text)) AS total_bytes,
-           round(avg(strlen(text)), 2) AS avg_bytes
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(round(avg(strlen(text)), 2) AS DOUBLE) AS avg_bytes
     FROM (SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                  ELSE 'video' END AS modality, text FROM documents)
     GROUP BY modality

@@ -20,18 +20,47 @@ import re
 from pyspark.sql import SparkSession
 
 
-def _default_local_dir() -> str:
+def _mem_total_gb() -> int:
+    """Host MemTotal in GiB (0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 0
+
+
+def _default_driver_mem() -> str:
+    """Default heap: min(48g, ~40% of detected RAM) — the heap is pinned
+    (-Xms=-Xmx + AlwaysPreTouch, see below), so an unconditional 48g
+    commits 48 GB at JVM startup and OOMs any host under ~50 GB RAM
+    (ADVICE.md r1). Floor of 2g keeps tiny hosts usable."""
+    total = _mem_total_gb()
+    if total <= 0:
+        return "8g"
+    return f"{max(2, min(48, int(total * 0.4)))}g"
+
+
+def _default_local_dir(heap_gb: int) -> str:
     """Shuffle/spill scratch space. A single local disk is NOT the system
     under test (a real cluster shuffles over many disks + network with
     bandwidth proportional to executors), so prefer tmpfs when the host
     has the RAM for it — measured: shuffle I/O on /tmp serialized the
-    32-thread ER bench (~1.5x slower end-to-end than tmpfs)."""
+    32-thread ER bench (~1.5x slower end-to-end than tmpfs). tmpfs is
+    only chosen when its free space comfortably exceeds the pinned heap
+    + expected spill (2x heap); large spills on a tight tmpfs die with
+    ENOSPC where /tmp would survive (ADVICE.md r1)."""
     shm = "/dev/shm/spark-local"
     try:
-        os.makedirs(shm, exist_ok=True)
-        return shm
+        free_gb = os.statvfs("/dev/shm").f_bavail * os.statvfs("/dev/shm").f_frsize // (1 << 30)
+        if free_gb >= 2 * heap_gb:
+            os.makedirs(shm, exist_ok=True)
+            return shm
     except OSError:
-        return "/tmp"
+        pass
+    return "/tmp"
 
 
 def _jvm_opts(driver_mem: str) -> str:
@@ -56,8 +85,10 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or _default_local_dir()
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
+    m = re.fullmatch(r"(\d+)g", driver_mem.strip().lower())
+    heap_gb = int(m.group(1)) if m else 8
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or _default_local_dir(heap_gb)
 
     builder = (
         SparkSession.builder.master(master)

@@ -39,7 +39,12 @@ def test_minhash_near_dups(spark, dup_docs):
 
 
 def test_simhash_near_dups(spark, dup_docs):
-    pairs = {(r["a"], r["b"]): r["hamming"] for r in D.simhash_duplicate_pairs(dup_docs, max_hamming=10).collect()}
+    # wide hamming needs finer chunking for the pigeonhole recall
+    # guarantee: max_hamming < n_chunks
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in D.simhash_duplicate_pairs(dup_docs, max_hamming=10, n_chunks=12).collect()
+    }
     assert pairs[("0", "1")] == 0
     assert pairs[("0", "4")] == 0
     assert ("0", "2") in pairs
