@@ -82,17 +82,33 @@ def bench_er_pipeline(spark) -> dict:
     n_files = files.count()  # materializes the cache
     pairs.count()
 
-    t0 = time.time()
-    result = run_er_pipeline(
-        spark, files, pairs, workdir=None, config=ERConfig(self_train=False)
-    )
-    n_candidates = result["candidates"].count()
-    n_clusters = result["labels"].select("cluster_id").distinct().count()
-    elapsed = time.time() - t0
+    # SPARK_GRAFT_BENCH_REPS > 1 → run the full pipeline that many times
+    # in the SAME JVM and report the min (steady-state). Rationale,
+    # measured: every distinct plan shape pays a one-time JIT/codegen
+    # warm-up (~2-5 s per stage, serial, core-count independent — e.g.
+    # the signature stage runs 5.5 s cold / 1.3 s warm). On a real
+    # cluster executors are long-lived and amortize this across hours;
+    # in a <2-minute sandbox run the warm-up is ~half the wall and
+    # masks the engine's scaling. Rep 0 (cold) is also reported.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    rep_secs = []
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        result = run_er_pipeline(
+            spark, files, pairs, workdir=None, config=ERConfig(self_train=False)
+        )
+        n_candidates = result["candidates"].count()
+        n_clusters = result["labels"].select("cluster_id").distinct().count()
+        rep_secs.append(time.time() - t0)
+        f1 = pairwise_f1(result["labels"], truth)
+        result["runner"].release()
+        for df in (result["train_pairs"],):
+            df.unpersist()
+    elapsed = min(rep_secs)
 
-    f1 = pairwise_f1(result["labels"], truth)
     return {
         "sec": elapsed,
+        "rep_secs": [round(s, 3) for s in rep_secs],
         "n_files": n_files,
         "n_candidates": n_candidates,
         "n_clusters": n_clusters,

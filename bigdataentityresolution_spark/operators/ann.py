@@ -60,9 +60,23 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_bits(vec_col: str, n_planes: int, dim: int, seed: int) -> Column:
+def hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes — the SINGLE source of truth for
+    the LSH constants, shared by the Spark operator and the DuckDB
+    oracle builder (queries.py) so both engines block identically."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    return rng.standard_normal((n_planes, dim))
+
+
+def ivf_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic unit-norm centroids (same sharing rationale)."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def _hyperplane_bits(vec_col: str, n_planes: int, dim: int, seed: int) -> Column:
+    planes = hyperplanes(n_planes, dim, seed)
 
     def bit(i: int) -> Column:
         dot = F.aggregate(
@@ -87,10 +101,17 @@ def lsh_topk(
     n_planes: int = 16,
     bands: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share ≥1 hyperplane-sign band."""
+    """Approximate top-k: candidates share ≥1 hyperplane-sign band.
+
+    All similarity math in DOUBLE (float dots diverge from the oracle in
+    the last ulp); pass ``dim`` to skip the driver-side probe."""
     rows_per_band = n_planes // bands
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    corpus = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    queries = queries.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
     bits = _hyperplane_bits(vec_col, n_planes, dim, seed)
     keys = [
         F.concat_ws(
@@ -135,14 +156,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style coarse quantization: deterministic random centroids;
     corpus rows assigned to nearest centroid (argmax dot); queries probe
-    the n_probe nearest centroid cells only."""
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    the n_probe nearest centroid cells only. DOUBLE math throughout;
+    pass ``dim`` to skip the driver-side probe."""
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    corpus = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    queries = queries.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    cents = ivf_centroids(n_centroids, dim, seed)
 
     def cell_scores(col: str) -> Column:
         return F.array(

@@ -113,8 +113,13 @@ def minhash_signatures_df(
                 )
             ).alias("h"),
         )
+    # INT slots: every value is < HASH_PRIME < 2^31, so the sketch is 128 B
+    # not 256 B — this array rides the membership shuffle and every
+    # training-pair join, payload size is the scaling lever.
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh{i}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME))
+        .cast("int")
+        .alias(f"mh{i}")
         for i, (a, b) in enumerate(perm_params(num_perm, seed))
     ]
     sig = hashed.groupBy("spec_id").agg(*aggs)
@@ -215,6 +220,74 @@ def candidate_pairs(
         )
     )
     pairs = members.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    return pairs.distinct()
+
+
+def candidate_pairs_with_est(
+    signatures: DataFrame,
+    bands: int = 16,
+    num_perm: int = 32,
+    per_block_cap: int = 64,
+) -> DataFrame:
+    """(a, b, est_j) candidate pairs with the MinHash-estimated Jaccard
+    computed INSIDE the blocking stage — the 100 TB-shape successor to
+    candidate_pairs + a downstream signature join.
+
+    Why: featurizing pairs by joining each side back to a signature
+    table ships 2·|pairs| probes of ~256 B sketches through a shuffle
+    (measured at bench scale: ~7 GB of traffic and the single hottest
+    execution in the pipeline, with >2× per-core CPU inflation from the
+    join's build/probe + serialization churn). The signatures are
+    ALREADY co-located in each LSH block after the membership shuffle —
+    carrying them into the per-block member array lets the agreement
+    fraction be computed expression-side at pair-generation time, so
+    the downstream similarity join only ever sees pairs that pass the
+    est-Jaccard prefilter (~5 % at the default floor).
+
+    Emits ALL capped within-block pairs (no floor here) so candidate
+    accounting stays comparable; callers filter on est_j.
+    """
+    mem = membership_from_signatures(
+        signatures, bands=bands, num_perm=num_perm
+    ).join(signatures, "spec_id")
+    w = Window.partitionBy("block_key").orderBy("spec_id")
+    capped = (
+        mem.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_block_cap)
+        .drop("_rn")
+    )
+    members = (
+        capped.groupBy("block_key")
+        .agg(F.array_sort(F.collect_list(F.struct("spec_id", "sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def est(x_sig: Column, y_sig: Column) -> Column:
+        agree = F.aggregate(
+            F.zip_with(x_sig, y_sig, lambda p, q: (p == q).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return F.round(agree.cast("double") / F.lit(float(num_perm)), 9)
+
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["spec_id"].alias("a"),
+                    y["spec_id"].alias("b"),
+                    est(x["sig"], y["sig"]).alias("est_j"),
+                ),
+            ),
+        )
+    )
+    pairs = members.select(F.explode(pair_arr).alias("p")).select(
+        "p.a", "p.b", "p.est_j"
+    )
+    # est_j is a pure function of (a, b) → distinct on the full row is
+    # the same dedup as on the pair, no extra aggregation needed
     return pairs.distinct()
 
 

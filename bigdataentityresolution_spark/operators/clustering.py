@@ -263,6 +263,40 @@ def extract_negatives(labels: DataFrame, neg_cluster_edges: DataFrame) -> DataFr
     )
 
 
+def trainable_records(
+    labels: DataFrame, neg_cluster_edges: DataFrame | None = None
+) -> DataFrame:
+    """(spec_id) records eligible for training — the reference's
+    trainable filter (retrain_with_all, src/functs.c:1740-1743: skip a
+    record iff its cluster has no other member AND no negative links).
+
+    labels: (spec_id, cluster_id); neg_cluster_edges: (cid_a, cid_b)
+    normalized cannot-link cluster pairs (None ⇒ none). One aggregation
+    on cluster_id + a broadcast-able semi-join on the (small) negative
+    edge relation — no corpus self-join.
+    """
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_n"))
+    multi = sizes.filter(F.col("_n") >= 2).select("cluster_id")
+    eligible_clusters = multi
+    if neg_cluster_edges is not None:
+        negged = (
+            neg_cluster_edges.select(F.col("cid_a").alias("cluster_id"))
+            .unionByName(neg_cluster_edges.select(F.col("cid_b").alias("cluster_id")))
+            .distinct()
+        )
+        eligible_clusters = multi.unionByName(negged).distinct()
+    return labels.join(eligible_clusters, "cluster_id", "left_semi").select("spec_id")
+
+
+def extract_strong_matches(scored: DataFrame, proba_floor: float = 0.85) -> DataFrame:
+    """Strong-matches sink (getStrongMatches, disabled in the reference
+    build — SURVEY.md §2.1): predicted pairs above a confidence floor,
+    as (a, b, proba). Compose after scoring.predict."""
+    return scored.filter(F.col("proba") >= F.lit(float(proba_floor))).select(
+        "a", "b", "proba"
+    )
+
+
 def label_candidate_pairs(
     candidates: DataFrame,
     labels: DataFrame,

@@ -203,6 +203,59 @@ def pair_features_compact(
     return out.drop("_sig_a", "_sig_b", "_vec_a", "_vec_b", "_prefix_a", "_prefix_b")
 
 
+def pair_features_from_est(
+    candidates_with_est: DataFrame,
+    docs_compact: DataFrame,
+    lev_bound: int = 128,
+    sig_prefilter: float | None = 0.2,
+) -> DataFrame:
+    """Featurize (a, b, est_j) candidates produced by
+    blocking.candidate_pairs_with_est: the est-Jaccard prefilter runs
+    BEFORE any join (the est was computed in-block), so only survivors
+    (~5 % at the default floor) probe the compact doc state for the
+    TF-IDF map + prefix — at bench scale this removed the pipeline's
+    hottest shuffle (2·|pairs| sketch probes). Signature columns never
+    ride this join at all.
+
+    Output schema matches pair_features_compact: (a, b, f_jaccard,
+    f_cosine, f_lev, f_vocab_cov).
+    """
+    out = candidates_with_est
+    if sig_prefilter is not None:
+        out = out.filter(F.col("est_j") >= sig_prefilter)
+    side = docs_compact.hint("shuffle_hash").select(
+        F.col("spec_id").alias("_id"),
+        F.col("features").alias("_vec"),
+        F.col("prefix").alias("_prefix"),
+    )
+    a = side.select(
+        F.col("_id").alias("a"), F.col("_vec").alias("_vec_a"),
+        F.col("_prefix").alias("_prefix_a"),
+    )
+    b = side.select(
+        F.col("_id").alias("b"), F.col("_vec").alias("_vec_b"),
+        F.col("_prefix").alias("_prefix_b"),
+    )
+    out = (
+        out.join(a, "a")
+        .join(b, "b")
+        .withColumn("f_jaccard", F.col("est_j"))
+        .withColumn("f_cosine", F.round(cosine_maps(F.col("_vec_a"), F.col("_vec_b")), 9))
+        .withColumn(
+            "f_lev",
+            F.when(
+                F.col("f_jaccard") >= 0.1,
+                levenshtein_bounded(F.col("_prefix_a"), F.col("_prefix_b"), lev_bound),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "f_vocab_cov",
+            F.least(F.size(F.map_keys("_vec_a")), F.size(F.map_keys("_vec_b"))),
+        )
+    )
+    return out.drop("est_j", "_vec_a", "_vec_b", "_prefix_a", "_prefix_b")
+
+
 def proba_expr(model: LRModel, feature_cols: tuple[str, ...] = FEATURE_COLS) -> Column:
     """sigmoid(b + w·x) as a JVM expression (calc_s, src/logistic.c:915-950)."""
     z = F.lit(float(model.bias))

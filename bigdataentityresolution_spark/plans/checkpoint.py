@@ -35,6 +35,7 @@ class StageRunner:
         self.workdir = workdir
         self.enabled = enabled and workdir is not None
         self.manifests: dict[str, dict] = {}
+        self.cached: list[DataFrame] = []  # cache-mode stage outputs (unpersist via release())
         if self.enabled:
             os.makedirs(workdir, exist_ok=True)
 
@@ -72,6 +73,7 @@ class StageRunner:
             # no checkpoint dir → keep the stage in the block-manager cache so
             # downstream stages don't recompute its whole lineage
             df = fn().cache()
+            self.cached.append(df)
             self.manifests[stage] = {"stage": stage, "resumed": False}
             return df
 
@@ -109,6 +111,13 @@ class StageRunner:
         os.replace(tmp, mpath)  # atomic: a killed run never leaves a half manifest
         self.manifests[stage] = manifest
         return out
+
+    def release(self) -> None:
+        """Unpersist every cache-mode stage output (bench reps / batch
+        callers that rebuild the pipeline in one session)."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
     def invalidate(self, stage: str) -> None:
         _, mpath = self._paths(stage)

@@ -72,6 +72,14 @@ class ERConfig:
     # together leave 0.
     edge_cosine_floor: float | None = 0.5
     edge_jaccard_floor: float | None = 0.45
+    # Submit independent stage groups as CONCURRENT Spark jobs (label
+    # closure ∥ corpus prep; training ∥ candidate generation). The DAG's
+    # serial stage chain cannot feed a wide cluster by itself — measured
+    # at bench scale: >60% executor idle time at local[16] from barrier
+    # latency. Job-level parallelism is the reference's own design
+    # (threaded jobScheduler, src/jobscheduler.c) re-expressed on Spark's
+    # thread-safe scheduler.
+    overlap_jobs: bool = True
     seed: int = 42
 
     def fingerprint(self, extra: str = "") -> str:
@@ -121,13 +129,25 @@ def run_er_pipeline(
 
     sigs = runner.run("signatures", signatures, fp_files)
 
+    # ---- stage: postings (the ONLY corpus tokenize+explode pass) -----------
+    # Materialized as its own stage: vocab, doc-lengths, and doc-vectors
+    # all re-read it. Without this checkpoint the TF-IDF chain re-scans
+    # and RE-TOKENIZES the corpus 3-4× (measured: five full corpus scans
+    # inside one prep materialization, ~60-100 core-s/run wasted at bench
+    # scale — the single largest avoidable CPU block in the event logs).
+    postings_df = runner.run(
+        "postings",
+        lambda: TI.postings(files, id_col="spec_id", text_col="content", tokenizer=tok),
+        fp_files,
+    )
+
     # ---- stage: prep (compact per-doc state: sig + TF-IDF map + prefix) ----
     # Everything a pair shuffle will ever carry. The raw content/token
     # arrays never ride a pair join (measured: full-payload joins spill
     # at multi-million-candidate scale and stop scaling).
     def prep():
         n_docs = files.count()
-        p = TI.postings(files, id_col="spec_id", text_col="content", tokenizer=tok)
+        p = postings_df
         v = TI.vocab(p, n_docs)
         top = TI.top_k_vocab(v, config.vocab_k)
         # tfidf operators speak "doc_id" internally; map back to spec_id.
@@ -161,9 +181,16 @@ def run_er_pipeline(
     )
 
     # ---- stage: candidate pairs --------------------------------------------
+    # est-Jaccard is computed in-block at generation time (signatures are
+    # already co-located after the membership shuffle) so the similarity
+    # join downstream only sees prefilter survivors — see
+    # blocking.candidate_pairs_with_est for the measured rationale.
     candidates = runner.run(
         "candidates",
-        lambda: B.candidate_pairs(membership, per_block_cap=config.per_block_cap),
+        lambda: B.candidate_pairs_with_est(
+            sigs, bands=config.bands, num_perm=config.num_perm,
+            per_block_cap=config.per_block_cap,
+        ),
         fp_files,
     )
 
@@ -183,19 +210,20 @@ def run_er_pipeline(
             ).withColumn("_kind", F.lit("neg_edge"))
         )
 
-    closure_df = runner.run("closure", closure, fp_labels).cache()
-    label_clusters = closure_df.filter(F.col("_kind") == "label").drop("_kind")
-    neg_edges = closure_df.filter(F.col("_kind") == "neg_edge").select(
-        F.col("spec_id").alias("cid_a"), F.col("cluster_id").alias("cid_b")
-    )
-
     # ---- stage: training pairs + features ----------------------------------
     # Train on the train split's labeled pairs (reference: LR trains on
     # pairs among first-60% specs, src/main.c:296-308).
     def train_features():
         lp = labeled_pairs
-        if "split" in lp.columns:
-            lp = lp.filter(F.col("split") == "train")
+        if "split" not in lp.columns:
+            # default split is the SCALE path: deterministic hash buckets,
+            # no global window (seeded_shuffle_split's exact-count split
+            # funnels the relation through one partition — kept for tests
+            # only, VERDICT.md r1 #5/#10)
+            from bigdataentityresolution_spark.sources.readers import hash_split
+
+            lp = hash_split(lp, seed=config.seed)
+        lp = lp.filter(F.col("split") == "train")
         tp = lp.select(
             F.least("left_spec_id", "right_spec_id").alias("a"),
             F.greatest("left_spec_id", "right_spec_id").alias("b"),
@@ -207,15 +235,49 @@ def run_er_pipeline(
             lev_bound=config.lev_bound, sig_prefilter=None,
         ).select("a", "b", "label", *S.FEATURE_COLS)
 
-    train_pairs = runner.run("train_features", train_features, fp_labels).cache()
+    # ---- concurrent job groups ---------------------------------------------
+    # Three independent groups after docs_prep exists:
+    #   A) label-closure CC (labeled pairs only — NOT on the final-label
+    #      critical path; its output feeds the result dict and sinks)
+    #   B) train features + IRLS fit (labeled pairs × docs_prep)
+    #   C) candidate generation (signatures only)
+    # Group A depends on nothing corpus-side, so it launches first and
+    # overlaps even the prep materialization.
+    def run_closure():
+        return runner.run("closure", closure, fp_labels)
 
-    # ---- stage: fit (driver-held model; manifest records the weights) ------
-    model = S.fit_lr_newton(train_pairs, max_rounds=config.newton_rounds)
+    def run_train_and_fit():
+        tp = runner.run("train_features", train_features, fp_labels).cache()
+        return tp, S.fit_lr_newton(tp, max_rounds=config.newton_rounds)
+
+    if config.overlap_jobs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            closure_future = pool.submit(run_closure)
+            # materialize the shared dependency ONCE before forking the
+            # dependents (concurrent first-touch of an unmaterialized
+            # cache would race block computation)
+            docs_prep.count()
+            fit_future = pool.submit(run_train_and_fit)
+            cand_future = pool.submit(candidates.count)
+            train_pairs, model = fit_future.result()
+            cand_future.result()
+            closure_raw = closure_future.result()
+    else:
+        closure_raw = run_closure()
+        train_pairs, model = run_train_and_fit()
+
+    closure_df = closure_raw.cache()
+    label_clusters = closure_df.filter(F.col("_kind") == "label").drop("_kind")
+    neg_edges = closure_df.filter(F.col("_kind") == "neg_edge").select(
+        F.col("spec_id").alias("cid_a"), F.col("cluster_id").alias("cid_b")
+    )
 
     # ---- stage: candidate features + scores --------------------------------
     def cand_features():
-        return S.pair_features_compact(
-            candidates, docs_prep, num_perm=config.num_perm,
+        return S.pair_features_from_est(
+            candidates, docs_prep,
             lev_bound=config.lev_bound, sig_prefilter=config.sig_prefilter,
         ).select("a", "b", *S.FEATURE_COLS, "f_vocab_cov")
 

@@ -215,6 +215,77 @@ def q_confidence_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "filter_claim_per_set",
+    """
+    SELECT DISTINCT o_custkey AS spec_id,
+           CASE WHEN o_orderkey % 2 = 0 THEN 't' ELSE 'v' END AS claim_set
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+)
+def q_claim_per_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visited-flag per-set claim filter (findRecord_forSet,
+    src/myHash.c:255-309): duplicate claim requests collapse to one per
+    (record, set); requests for unknown records are dropped. Exercised
+    as order→customer claims with the order parity choosing the set."""
+    from bigdataentityresolution_spark.sources.readers import claim_records_for_sets
+
+    reqs = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("spec_id"),
+        F.when(F.col("o_orderkey") % 2 == 0, "t").otherwise("v").alias("claim_set"),
+    )
+    recs = _load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("spec_id"))
+    return claim_records_for_sets(reqs, recs, set_col="claim_set")
+
+
+@_register(
+    "filter_trainable_records",
+    """
+    WITH RECURSIVE e AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2
+        ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+    ), sym AS (
+      SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+    ), labels AS (
+      SELECT node AS spec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT spec_id FROM labels
+    WHERE cluster_id IN (
+      SELECT cluster_id FROM labels GROUP BY cluster_id HAVING count(*) >= 2
+    )
+    """,
+)
+def q_trainable_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable-record filter (retrain_with_all, src/functs.c:1740-1743):
+    keep records whose cluster has >1 member or negative links. Cluster
+    labels come from the deterministic doc-id chain edges (same edge set
+    as connected_components_chains; no negative edges here)."""
+    from bigdataentityresolution_spark.operators.clustering import (
+        connected_components,
+        trainable_records,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    d2 = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("lang").alias("lang2"),
+        F.col("doc_id").alias("b"),
+    )
+    edges = (
+        d.join(d2, "doc_id")
+        .filter(F.col("lang") == F.col("lang2"))
+        .select(F.col("doc_id").alias("a"), "b")
+    )
+    labels = connected_components(edges, nodes=d.select("doc_id"))
+    return trainable_records(labels)
+
+
 # ---------------------------------------------------------------------------
 # Joins & pair generation (SURVEY.md §2.3)
 # ---------------------------------------------------------------------------
@@ -757,15 +828,174 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-@_register("ann_lsh_topk")  # rows-only: hyperplane constants impractical in SQL
+def _sql_dot(vec_expr: str, row) -> str:
+    """list_dot_product(vec, [literal doubles]) — Python repr round-trips
+    each double exactly, so DuckDB parses the bit-identical constant the
+    Spark plan carries via F.lit."""
+    lits = ", ".join(repr(float(x)) for x in row)
+    return f"list_dot_product({vec_expr}, [{lits}])"
+
+
+def _lsh_keys_sql(vec_expr: str, n_planes: int, bands: int, seed: int, dim: int) -> str:
+    """DuckDB twin of ann._hyperplane_bits + band-key assembly: the SAME
+    numpy-generated hyperplanes (ann.hyperplanes is the single source of
+    truth) embedded as SQL literals."""
+    from bigdataentityresolution_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(n_planes, dim, seed)
+    rows_per_band = n_planes // bands
+    bits = [
+        f"(CASE WHEN {_sql_dot(vec_expr, planes[i])} >= 0 THEN 1 ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    keys = []
+    for b in range(bands):
+        elems = " || '_' || ".join(
+            f"CAST({bits[b * rows_per_band + r]} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        keys.append(f"('{b}' || ':' || ({elems}))")
+    return "[" + ", ".join(keys) + "]"
+
+
+_EMB_DIM = 64  # driver-correctness corpus (testdata embeddings.parquet)
+
+@_register(
+    "ann_lsh_topk",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ck AS (SELECT vec_id, unnest({{keys}}) AS bk FROM emb),
+    qk AS (SELECT vec_id AS query_id, unnest({{keys}}) AS bk FROM emb WHERE vec_id < 8),
+    cand AS (SELECT DISTINCT qk.query_id, ck.vec_id FROM ck JOIN qk USING (bk)),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_dot_product(q.v, e.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+                   6) AS cosine
+      FROM cand c JOIN emb e ON c.vec_id = e.vec_id JOIN emb q ON c.query_id = q.vec_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """.format(keys=_lsh_keys_sql("v", 16, 8, 42, _EMB_DIM)),
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH cosine top-k vs a FULL-ALGORITHM DuckDB twin: the oracle
+    reproduces the hyperplane sign bits (same numpy constants as SQL
+    literals), band-key join, candidate dedup, and ranked top-k — so
+    the r01 rows-only gap is closed with exact parity, bucketing
+    included."""
     from bigdataentityresolution_spark.operators.ann import lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    return lsh_topk(emb, queries, k=5)
+
+
+def _ivf_cells_sql() -> str:
+    from bigdataentityresolution_spark.operators.ann import ivf_centroids
+
+    cents = ivf_centroids(16, _EMB_DIM, 42)
+    return " UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS cell, round({_sql_dot('v', cents[i])}, 9) AS s FROM emb"
+        for i in range(16)
+    )
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cellscores AS (
+      {_ivf_cells_sql()}
+    ),
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        FROM cellscores) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        FROM cellscores WHERE vec_id < 8) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_dot_product(p.qv, a.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))),
+                   6) AS cosine
+      FROM probes p JOIN assign a USING (cell)
+    )
+    SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization top-k vs a full-algorithm DuckDB twin:
+    same centroid constants, same argmax cell assignment (ties → higher
+    cell, mirroring Spark's struct array_max), same n_probe=4 probe set,
+    same ranked top-k. Registers the r01 'implemented, pytest only' op
+    as a driver-checked query."""
+    from bigdataentityresolution_spark.operators.ann import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Spec-JSON ingestion (SURVEY.md §2.1 — readDataset/readFile)
+# ---------------------------------------------------------------------------
+
+_SPEC_JSON_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "spec_json",
+)
+
+@_register(
+    "spec_json_ingest",
+    f"""
+    WITH raw AS (
+      SELECT * FROM read_json_auto('{_SPEC_JSON_DIR}/*/*.json', filename=true)
+    ), specs AS (
+      SELECT split_part(filename, '/', -2) || '//' ||
+             regexp_replace(split_part(filename, '/', -1), '\\.json$', '') AS spec_id,
+             concat_ws(' ',
+               CASE WHEN "page title" IS NOT NULL THEN 'page title' END,
+               CASE WHEN brand IS NOT NULL THEN 'brand' END,
+               CASE WHEN features IS NOT NULL AND len(features) > 0 THEN 'features' END,
+               CASE WHEN battery IS NOT NULL THEN 'battery' END,
+               "page title", brand, array_to_string(features, ' '), battery) AS kv_text
+      FROM raw
+    )
+    SELECT spec_id, unnest({X.admitted_tokens_sql('kv_text')}) AS token FROM specs
+    """,
+)
+def q_spec_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readDataset/readFile parity over a committed spec-JSON fixture
+    (reference src/functs.c:33-489): per-site directories, specID =
+    site//file (src/functs.c:111-117), scalar-or-array property
+    normalization to MAP<STRING,ARRAY<STRING>>, then checkWord token
+    admission over keys AND values (src/boWords.c:202-226). The oracle
+    re-derives the same (spec_id, token) multiset from the raw JSON in
+    DuckDB. sf_dir is unused — the fixture is the dataset."""
+    from bigdataentityresolution_spark.sources.readers import (
+        read_spec_json,
+        spec_properties_tokens,
+    )
+
+    specs = read_spec_json(spark, os.path.join(_SPEC_JSON_DIR, "*", "*.json"))
+    return spec_properties_tokens(specs)
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,9 @@ def _jvm_opts(driver_mem: str) -> str:
         gb = int(m.group(1))
         if gb >= 4:
             opts.append(f"-Xmn{gb // 2}g")
+    gc_log = os.environ.get("SPARK_GRAFT_GC_LOG")
+    if gc_log:
+        opts.append(f"-Xlog:gc*:file={gc_log}:time,uptime")
     return " ".join(opts)
 
 

@@ -109,6 +109,31 @@ def hash_split(
     )
 
 
+def claim_records_for_sets(
+    requests: DataFrame,
+    records: DataFrame | None = None,
+    id_col: str = "spec_id",
+    set_col: str = "set",
+) -> DataFrame:
+    """Visited-flag per-set claim filter (findRecord_forSet,
+    src/myHash.c:255-309): each record is handed out AT MOST ONCE per
+    set, and only if it exists in the record store.
+
+    The reference walks requests sequentially, mutating a visited flag
+    ('n' → 't' → 'v'; the validation set may also claim records the test
+    set already took, and sets are built test-then-val so the 'v'-blocks-
+    't' branch never fires). The order-free re-expression: one distinct
+    per (id, set) + a left-semi existence probe — same claim sets, no
+    mutable driver state, shuffle only on the (small) request relation.
+    """
+    claims = requests.select(F.col(id_col), F.col(set_col)).dropDuplicates(
+        [id_col, set_col]
+    )
+    if records is not None:
+        claims = claims.join(records.select(F.col(id_col)), id_col, "left_semi")
+    return claims
+
+
 def read_spec_json(spark: SparkSession, path: str) -> DataFrame:
     """Spec-JSON records → (spec_id, properties MAP<STRING, ARRAY<STRING>>).
 

@@ -87,6 +87,19 @@ def main() -> None:
         plan_of(pruned),
     ))
 
+    # 4b. in-block candidate generation with est-Jaccard prefilter
+    cand = B.candidate_pairs_with_est(sigs, bands=16, num_perm=32, per_block_cap=64)
+    sections.append((
+        "Candidate pairs: in-block est-Jaccard, no signature join",
+        "Pair generation + the MinHash agreement fraction happen inside "
+        "the aggregated per-block member array (ONE shuffle on block_key "
+        "+ one distinct). The plan contains NO join of the pair set back "
+        "to a signature table — the r1 shape shipped 2·|pairs| sketch "
+        "probes through a shuffle_hash join and was the pipeline's "
+        "hottest execution (1164 core-s at bench scale).",
+        plan_of(cand),
+    ))
+
     # 5. whole-stage codegen over an OLAP agg
     li.createOrReplaceTempView("lineitem")
     q1 = spark.sql(
