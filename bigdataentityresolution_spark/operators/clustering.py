@@ -27,15 +27,16 @@ from pyspark.sql import functions as F
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
-    """Normalize to a<b, drop self-loops and dupes."""
-    return (
-        edges.select(
-            F.least("a", "b").alias("a"),
-            F.greatest("a", "b").alias("b"),
-        )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
+    """Normalize to a<b, drop self-loops.
+
+    No distinct(): the first star round's ``collect_set`` erases
+    duplicates identically, and a distinct here is a full extra shuffle
+    of the largest edge set the pipeline ever materializes (labeled ∪
+    predicted) — pure waste on the critical path."""
+    return edges.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+    ).filter(F.col("a") < F.col("b"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -87,13 +88,21 @@ def connected_components(
     matchesAdd src/myMatches.c:29-53).
 
     Alternates large-star/small-star until the edge set reaches a fixed
-    point (signature: count + xor of pair hashes). The checkpoint + the
-    signature job run every ``checkpoint_every`` rounds, NOT every round:
-    each driver barrier (eager materialization + a collect) is latency
-    the loop pays serially, and the star fixpoint is idempotent — extra
-    rounds past convergence are cheap no-ops, so a late fixpoint
-    detection costs less than per-round barriers (r1 profiling: the CC
-    loops were a flat ~16 s regardless of core count).
+    point (signature: count + two independent hash folds). The
+    checkpoint runs every ``checkpoint_every`` rounds, NOT every round:
+    each driver barrier (eager materialization) is latency the loop pays
+    serially, and the star fixpoint is idempotent — extra rounds past
+    convergence are cheap no-ops, so a late fixpoint detection costs
+    less than per-round barriers (r1 profiling: the CC loops were a
+    flat ~16 s regardless of core count). The signature itself rides the
+    checkpoint job as ``observe()`` metrics — zero extra scan, zero
+    extra driver barrier (r2: the separate signature job was ~1-1.5 s of
+    pure latency per batch at ANY core count). The signature is over the
+    edge MULTISET, which is sound: both star rounds aggregate through
+    ``collect_set``, so round output is a function of the input SET —
+    once the set reaches fixpoint the multiset emitted by the next round
+    is bit-identical too, and equality of consecutive multiset
+    signatures implies the set fixpoint the loop is looking for.
 
     checkpoint_dir: when set, round state is written as RELIABLE parquet
     (round_<k>/ + _cc_manifest.json) instead of localCheckpoint, and a
@@ -118,16 +127,23 @@ def connected_components(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         ).filter(F.col("a") < F.col("b"))
 
-    def signature(df: DataFrame) -> tuple[int, int]:
-        # DISTINCT aggregates make the signature duplicate-insensitive,
-        # so no materialized distinct() is needed anywhere in the loop.
-        row = df.select(
-            F.count_distinct(F.col("a"), F.col("b")).alias("n"),
+    def with_signature(df: DataFrame):
+        """Attach the multiset signature as observe() metrics: count +
+        xor-fold + an independent sum-fold (mod 2^31 keeps the BIGINT
+        sum overflow-free at any realistic edge count). Metrics are
+        collected by the SAME job that materializes the round batch."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
             F.coalesce(
-                F.expr("bit_xor(distinct xxhash64(a, b))"), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
+                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31))), F.lit(0)
+            ).alias("s"),
+        )
+        return out, obs
 
     e = _canonical_edges(edges)
     rounds_done = 0
@@ -153,14 +169,17 @@ def connected_components(
             e = orient(_large_star(e))
             e = orient(_small_star(e))
             rounds_done += 1
+        e, obs = with_signature(e)
         if checkpoint_dir:
             rpath = os.path.join(checkpoint_dir, f"round_{rounds_done}")
             e.write.mode("overwrite").parquet(rpath)
             e = spark.read.parquet(rpath)
         else:
-            # cuts the doubling lineage and backs the signature scan
+            # cuts the doubling lineage; the eager job also delivers the
+            # observe() signature metrics
             e = e.localCheckpoint(eager=True)
-        sig = signature(e)
+        m_ = obs.get
+        sig = (int(m_["n"]), int(m_["h"]), int(m_["s"]))
         if manifest_path:
             tmp = manifest_path + ".tmp"
             with open(tmp, "w") as f:

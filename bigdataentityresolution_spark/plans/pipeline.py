@@ -236,13 +236,18 @@ def run_er_pipeline(
         ).select("a", "b", "label", *S.FEATURE_COLS)
 
     # ---- concurrent job groups ---------------------------------------------
-    # Three independent groups after docs_prep exists:
+    # Three independent groups:
     #   A) label-closure CC (labeled pairs only — NOT on the final-label
     #      critical path; its output feeds the result dict and sinks)
-    #   B) train features + IRLS fit (labeled pairs × docs_prep)
+    #   B) prep → train features + IRLS fit (labeled pairs × docs_prep)
     #   C) candidate generation (signatures only)
-    # Group A depends on nothing corpus-side, so it launches first and
-    # overlaps even the prep materialization.
+    # Dependency-precise forking (r2 event-log finding: group C waited
+    # behind the 20 s prep materialization it does not read — candidates
+    # depend on `sigs` alone, so only the signature cache is materialized
+    # before C forks; the B chain continues on the main thread). Each
+    # shared cached stage is materialized exactly once before any
+    # dependent forks — concurrent first-touch of an unmaterialized
+    # cache would race block computation.
     def run_closure():
         return runner.run("closure", closure, fp_labels)
 
@@ -255,12 +260,10 @@ def run_er_pipeline(
 
         with ThreadPoolExecutor(max_workers=3) as pool:
             closure_future = pool.submit(run_closure)
-            # materialize the shared dependency ONCE before forking the
-            # dependents (concurrent first-touch of an unmaterialized
-            # cache would race block computation)
-            docs_prep.count()
-            fit_future = pool.submit(run_train_and_fit)
+            sigs.count()  # the one dependency group C reads
             cand_future = pool.submit(candidates.count)
+            docs_prep.count()  # group B's heavy dependency, main thread
+            fit_future = pool.submit(run_train_and_fit)
             train_pairs, model = fit_future.result()
             cand_future.result()
             closure_raw = closure_future.result()

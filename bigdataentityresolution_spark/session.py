@@ -71,6 +71,14 @@ def _jvm_opts(driver_mem: str) -> str:
         gb = int(m.group(1))
         if gb >= 4:
             opts.append(f"-Xmn{gb // 2}g")
+    # When the process tree is cpuset-confined (taskset / container), the
+    # JVM still sizes ParallelGC worker threads from the MACHINE's core
+    # count — 32 GC threads thrashing a 2-cpu cpuset is pathological. A
+    # real N-core executor container gets this right via cgroup
+    # awareness; scaling_bench.py sets it explicitly for pinned runs.
+    gc_threads = os.environ.get("SPARK_GRAFT_GC_THREADS")
+    if gc_threads:
+        opts.append(f"-XX:ParallelGCThreads={gc_threads}")
     gc_log = os.environ.get("SPARK_GRAFT_GC_LOG")
     if gc_log:
         opts.append(f"-Xlog:gc*:file={gc_log}:time,uptime")
@@ -87,7 +95,12 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 8)
+        # On a real cluster shuffle.partitions is a JOB constant (sized to
+        # the data), not a function of cluster size — scaling runs pin it
+        # via SPARK_GRAFT_SHUFFLE so both parallelism levels execute the
+        # identical physical plan and only concurrency differs.
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = int(env_sp) if env_sp else max(cpus, 8)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     m = re.fullmatch(r"(\d+)g", driver_mem.strip().lower())
     heap_gb = int(m.group(1)) if m else 8
@@ -130,6 +143,17 @@ def get_spark(
         # result cap kills legitimate checkpoint/broadcast materializations
         .config("spark.driver.maxResultSize", "8g")
     )
+    # Profiling hook: SPARK_GRAFT_EVENTLOG=<dir> turns on rolling event
+    # logs (the input to scripts that decompose wall time into per-stage
+    # CPU / concurrency timelines — how the scaling floor was measured).
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", eventlog_dir)
+            .config("spark.eventLog.rolling.enabled", "true")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

