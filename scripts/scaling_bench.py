@@ -44,30 +44,43 @@ CORPUS_CLUSTERS = os.environ.get("SPARK_GRAFT_BENCH_CLUSTERS", "32000")
 CORPUS_UNRELATED = os.environ.get("SPARK_GRAFT_BENCH_UNRELATED", "64000")
 
 
+def _pinned_agg(code: str, procs_n: int) -> int:
+    """Launch `procs_n` copies of `code` pinned to distinct cores (like
+    the Spark legs) and sum their printed counts. Every probe snippet
+    must warm up (page-fault its arrays, ramp the core) BEFORE its timed
+    window — first-touch costs otherwise dominate a short window and
+    produce nonsense ratios."""
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+        )
+        for i in range(procs_n)
+    ]
+    return sum(int(p.communicate()[0]) for p in procs)
+
+
 def cpu_ceiling_probe(n_small: int, n_large: int) -> dict:
     """Aggregate pure-CPU throughput at N vs 4N OS processes — the
     machine's own scaling ceiling (virtualized hosts turbo down / share
     cycles as more vCPUs go busy). Spark cannot beat this number."""
     code = (
         "import time\n"
-        "n = 0\n"
-        "deadline = time.time() + 3.0\n"
-        "while time.time() < deadline:\n"
+        "def one():\n"
         "    x = 0\n"
         "    for i in range(100000):\n"
         "        x += i * i\n"
+        "for _ in range(5):\n"
+        "    one()\n"  # warm-up: interpreter startup / freq ramp outside the window
+        "n = 0\n"
+        "deadline = time.time() + 4.0\n"
+        "while time.time() < deadline:\n"
+        "    one()\n"
         "    n += 1\n"
         "print(n)\n"
     )
 
-    def agg(threads: int) -> int:
-        procs = [
-            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
-            for _ in range(threads)
-        ]
-        return sum(int(p.communicate()[0]) for p in procs)
-
-    a, b = agg(n_small), agg(n_large)
+    a, b = _pinned_agg(code, n_small), _pinned_agg(code, n_large)
     ratio = n_large / n_small
     return {
         "agg_small": a,
@@ -91,22 +104,16 @@ def mem_bw_probe(n_small: int, n_large: int) -> dict:
     code = (
         "import numpy as np, time\n"
         "a = np.ones(32 * 1024 * 1024)\n"  # 256 MB, >> L3
+        "float(a.sum()); float(a.sum())\n"  # warm-up: fault pages, ramp core
         "n = 0\n"
-        "deadline = time.time() + 3.0\n"
+        "deadline = time.time() + 4.0\n"
         "while time.time() < deadline:\n"
         "    s = float(a.sum())\n"
         "    n += 1\n"
         "print(n)\n"
     )
 
-    def agg(procs_n: int) -> int:
-        procs = [
-            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
-            for _ in range(procs_n)
-        ]
-        return sum(int(p.communicate()[0]) for p in procs)
-
-    a, b = agg(n_small), agg(n_large)
+    a, b = _pinned_agg(code, n_small), _pinned_agg(code, n_large)
     ratio = n_large / n_small
     return {
         "agg_small": a,
@@ -135,25 +142,16 @@ def random_access_probe(n_small: int, n_large: int) -> dict:
         "n = 32 * 1024 * 1024\n"  # 256 MB of int64, >> L3
         "a = rng.integers(0, n, size=n)\n"
         "idx = rng.integers(0, n, size=1 << 20)\n"
+        "int(a[a[idx]].sum())\n"  # warm-up: fault pages, ramp core
         "passes = 0\n"
-        "deadline = time.time() + 3.0\n"
+        "deadline = time.time() + 4.0\n"
         "while time.time() < deadline:\n"
         "    s = int(a[a[idx]].sum())\n"  # two dependent gather levels
         "    passes += 1\n"
         "print(passes)\n"
     )
 
-    def agg(procs_n: int) -> int:
-        procs = [
-            subprocess.Popen(
-                ["taskset", "-c", str(i), sys.executable, "-c", code],
-                stdout=subprocess.PIPE,
-            )
-            for i in range(procs_n)
-        ]
-        return sum(int(p.communicate()[0]) for p in procs)
-
-    a, b = agg(n_small), agg(n_large)
+    a, b = _pinned_agg(code, n_small), _pinned_agg(code, n_large)
     ratio = n_large / n_small
     return {
         "agg_small": a,
@@ -201,10 +199,19 @@ def run(cpus: int) -> dict:
     return best
 
 
+def _median3(probe, key: str) -> dict:
+    """Median-of-3 probe runs by the efficiency key — the shared KVM
+    host adds ±10% run-to-run noise a single 4 s window can't average."""
+    runs = sorted((probe(N_SMALL, N_LARGE) for _ in range(3)), key=lambda r: r[key])
+    out = runs[1]
+    out["note"] = "median of 3 warmed, core-pinned probe runs"
+    return out
+
+
 def main() -> None:
-    hw = cpu_ceiling_probe(N_SMALL, N_LARGE)
-    bw = mem_bw_probe(N_SMALL, N_LARGE)
-    ra = random_access_probe(N_SMALL, N_LARGE)
+    hw = _median3(cpu_ceiling_probe, "hw_efficiency")
+    bw = _median3(mem_bw_probe, "stream_efficiency")
+    ra = _median3(random_access_probe, "rand_efficiency")
     r_small = run(N_SMALL)
     r_large = run(N_LARGE)
     ratio = N_LARGE / N_SMALL
@@ -286,13 +293,14 @@ def main() -> None:
         "  in-block est-Jaccard, concurrent job groups, driver-local IRLS, batched",
         "  CC barriers).",
         f"- **The box's own ceilings** (pinned OS processes, no JVM, {N_SMALL} vs",
-        f"  {N_LARGE}): pure arithmetic **{hw['hw_efficiency']}**, sequential",
-        f"  memory streaming **{bw['stream_efficiency']}**, but latency-bound",
+        f"  {N_LARGE}; median of 3 probe runs): pure arithmetic",
+        f"  **{hw['hw_efficiency']}**, sequential memory streaming",
+        f"  **{bw['stream_efficiency']}**, but latency-bound",
         f"  RANDOM access (dependent gathers over 256 MB, the access pattern of",
         f"  hash joins and aggregation hash maps) **{ra['rand_efficiency']}** —",
         "  co-running tasks share one L3 and one memory subsystem, so the",
-        "  dominant access pattern of a shuffle-heavy pipeline stops scaling on",
-        "  a single box even when streaming still does. This matches the",
+        "  dominant access pattern of a shuffle-heavy pipeline scales worse on",
+        "  a single box even when streaming still scales. This matches the",
         "  measured per-task CPU inflation of the identical warm stages at the",
         "  higher core count (`scripts/stage_cpu_compare.py`). An N-vs-4N",
         "  EXECUTOR comparison — the north rule's actual criterion — adds an L3",
