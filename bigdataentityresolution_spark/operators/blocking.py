@@ -129,10 +129,15 @@ def minhash_signatures_df(
 
 
 def membership_from_signatures(
-    signatures: DataFrame, bands: int = 16, num_perm: int = 32
+    signatures: DataFrame, bands: int = 16, num_perm: int = 32, carry_sig: bool = False
 ) -> DataFrame:
-    """(spec_id, block_key) from a precomputed signature table — pure
-    projection + explode, no rescan of the corpus."""
+    """(spec_id, block_key[, sig]) from a precomputed signature table —
+    pure projection + explode, no rescan of the corpus.
+
+    carry_sig=True keeps the 128 B sketch on every band row so consumers
+    that need it in-block (candidate_pairs_with_est) never join back to
+    the signature table — that join was a second corpus-wide shuffle at
+    100 TB shape for data the explode already had in hand."""
     rows_per_band = num_perm // bands
     keys = [
         F.concat_ws(
@@ -148,7 +153,10 @@ def membership_from_signatures(
         )
         for band in range(bands)
     ]
-    return signatures.select("spec_id", F.explode(F.array(*keys)).alias("block_key"))
+    cols = ["spec_id", F.explode(F.array(*keys)).alias("block_key")]
+    if carry_sig:
+        cols.append("sig")
+    return signatures.select(*cols)
 
 
 def block_membership(
@@ -248,8 +256,8 @@ def candidate_pairs_with_est(
     accounting stays comparable; callers filter on est_j.
     """
     mem = membership_from_signatures(
-        signatures, bands=bands, num_perm=num_perm
-    ).join(signatures, "spec_id")
+        signatures, bands=bands, num_perm=num_perm, carry_sig=True
+    )
     w = Window.partitionBy("block_key").orderBy("spec_id")
     capped = (
         mem.withColumn("_rn", F.row_number().over(w))
