@@ -85,6 +85,18 @@ def _jvm_opts(driver_mem: str) -> str:
     return " ".join(opts)
 
 
+def _executor_jvm_opts() -> str:
+    """Executor JVM flags (separate executor processes: local-cluster /
+    standalone / YARN / K8s; ignored by local[N] where tasks run in the
+    driver JVM). SPARK_GRAFT_EXEC_GC_THREADS caps GC workers to the
+    executor's core budget for cpuset-confined scaling runs."""
+    opts = ["-XX:+UseParallelGC"]
+    gc_threads = os.environ.get("SPARK_GRAFT_EXEC_GC_THREADS")
+    if gc_threads:
+        opts.append(f"-XX:ParallelGCThreads={gc_threads}")
+    return " ".join(opts)
+
+
 def get_spark(
     app_name: str = "bigdataentityresolution_spark",
     master: str | None = None,
@@ -137,12 +149,17 @@ def get_spark(
         #     from ever promoting (measured: total GC 89.3 s → 2.5 s).
         # Batch engines want throughput collection, not low pause times.
         .config("spark.driver.extraJavaOptions", _jvm_opts(driver_mem))
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", _executor_jvm_opts())
         .config("spark.local.dir", local_dir)
         # local mode: the "driver" is the whole machine; the 1g default
         # result cap kills legitimate checkpoint/broadcast materializations
         .config("spark.driver.maxResultSize", "8g")
     )
+    # Separate-executor deployments (local-cluster / standalone): size the
+    # executor heap explicitly; local[N] ignores it.
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+    if exec_mem:
+        builder = builder.config("spark.executor.memory", exec_mem)
     # Profiling hook: SPARK_GRAFT_EVENTLOG=<dir> turns on rolling event
     # logs (the input to scripts that decompose wall time into per-stage
     # CPU / concurrency timelines — how the scaling floor was measured).

@@ -43,6 +43,17 @@ N_LARGE = int(os.environ.get("SPARK_GRAFT_SCALING_4N", str(4 * N_SMALL)))
 CORPUS_CLUSTERS = os.environ.get("SPARK_GRAFT_BENCH_CLUSTERS", "32000")
 CORPUS_UNRELATED = os.environ.get("SPARK_GRAFT_BENCH_UNRELATED", "64000")
 
+# "cores": legs are local[N] vs local[4N], cpuset-pinned (default).
+# "executors": legs are local-cluster[k,C,M] with k = N/C vs 4N/C —
+# literal N-vs-4N-executor clusters: separate executor JVMs (own heap,
+# GC, Python workers), driver RPC, cross-process shuffle. The process
+# tree is pinned to (leg cores + 2): the driver gets the same 2 extra
+# cores in both legs, standing in for the dedicated driver node of a
+# real cluster.
+MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "cores")
+CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_CORES_PER_EXEC", "2"))
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "10240"))
+
 
 def _pinned_agg(code: str, procs_n: int) -> int:
     """Launch `procs_n` copies of `code` pinned to distinct cores (like
@@ -180,9 +191,26 @@ def run_once(cpus: int) -> dict:
         SPARK_GRAFT_GC_THREADS=str(cpus),
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     )
+    pin_cores = cpus
+    if MODE == "executors":
+        n_exec = max(1, cpus // CORES_PER_EXEC)
+        env.update(
+            SPARK_GRAFT_MASTER=(
+                f"local-cluster[{n_exec},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
+            ),
+            SPARK_GRAFT_EXECUTOR_MEM=f"{EXEC_MEM_MB - 2048}m",
+            SPARK_GRAFT_EXEC_GC_THREADS=str(CORES_PER_EXEC),
+            # the driver JVM runs no tasks in this mode; keep its pinned
+            # heap small and identical across legs
+            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            SPARK_GRAFT_GC_THREADS="2",
+            PYSPARK_PYTHON=sys.executable,
+            PYSPARK_DRIVER_PYTHON=sys.executable,
+        )
+        pin_cores = cpus + 2  # same 2 driver cores for both legs
     cmd = [sys.executable, str(REPO / "bench.py"), "--er-only"]
     if os.environ.get("SPARK_GRAFT_NO_PIN") != "1":
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -197,6 +225,12 @@ def run(cpus: int) -> dict:
         if best is None or r["er"]["sec"] < best["er"]["sec"]:
             best = r
     return best
+
+
+def _leg_label(cpus: int) -> str:
+    if MODE == "executors":
+        return f"local-cluster[{max(1, cpus // CORES_PER_EXEC)},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
+    return f"local[{cpus}]"
 
 
 def _median3(probe, key: str) -> dict:
@@ -219,6 +253,7 @@ def main() -> None:
     t_small, t_large = r_small["er"]["sec"], r_large["er"]["sec"]
     eff = (t_small / t_large) / ratio
     report = {
+        "mode": MODE,
         "n_cores_small": N_SMALL,
         "n_cores_large": N_LARGE,
         f"t_local{N_SMALL}_sec": round(t_small, 2),
@@ -242,31 +277,61 @@ def main() -> None:
     }
     print(json.dumps(report))
 
-    md = REPO / "BENCH" / "BASELINE.md"
+    # executors mode writes its own file; BASELINE.md stays the
+    # cores-mode headline
+    md = REPO / "BENCH" / (
+        "BASELINE.md" if MODE == "cores" else f"BASELINE_{MODE}.md"
+    )
     md.parent.mkdir(exist_ok=True)
     meets = eff >= 0.8
+    if MODE == "executors":
+        n_exec_small = max(1, N_SMALL // CORES_PER_EXEC)
+        n_exec_large = max(1, N_LARGE // CORES_PER_EXEC)
+        intro = [
+            "Same ER job (`bench.py --er-only`, deterministic synthetic source-code",
+            f"corpus, {report['n_files']} files, {report['n_candidates']} candidate pairs,",
+            f"pairwise F1 = {report['f1']}) on LITERAL {n_exec_small}-executor vs",
+            f"{n_exec_large}-executor clusters (`local-cluster[k,{CORES_PER_EXEC},{EXEC_MEM_MB}]`):",
+            "each executor is a SEPARATE JVM process with its own heap, GC, and",
+            "Python workers, talking to the driver over RPC and shuffling across",
+            "process boundaries — the north rule's N-vs-4N-executor criterion run",
+            "as faithfully as a single box allows. The whole process tree is",
+            "cpuset-confined to (executor cores + 2 driver cores, identical in",
+            "both legs). Both legs run the IDENTICAL physical plan:",
+            f"`spark.sql.shuffle.partitions` is a job constant ({4 * N_LARGE});",
+            f"executor heap ({EXEC_MEM_MB - 2048}m) and `ParallelGCThreads`",
+            f"(={CORES_PER_EXEC}) are per-executor constants, as on a real cluster.",
+            f"Each launch runs the FULL pipeline {BENCH_REPS}× in one cluster and reports",
+            "the min (steady state); the cold rep is listed alongside.",
+        ]
+    else:
+        intro = [
+            "Same ER job (`bench.py --er-only`, deterministic synthetic source-code",
+            f"corpus, {report['n_files']} files, {report['n_candidates']} candidate pairs,",
+            f"pairwise F1 = {report['f1']}) at two parallelism levels (N and 4N cores),",
+            f"each leg cpuset-confined (`taskset -c 0-(N-1)`) to exactly its core",
+            "budget — GC threads, Python workers, and shuffle threads all share the",
+            "confined cores, exactly what an N-core executor container gets on a",
+            "real cluster (cgroup cpuset). Both legs run the IDENTICAL physical",
+            f"plan: `spark.sql.shuffle.partitions` is a job constant ({4 * N_LARGE}),",
+            "heap (24g) and `ParallelGCThreads` (=N) sized per leg as a",
+            "container-aware JVM would.",
+            f"Each launch runs the FULL pipeline {BENCH_REPS}× in one JVM and reports the",
+            "min (steady state); the cold rep is listed alongside.",
+        ]
     lines = [
-        "# BENCH/BASELINE — measured scaling evidence",
+        "# BENCH/BASELINE — measured scaling evidence"
+        + (" (multi-executor mode)" if MODE == "executors" else ""),
         "",
-        "Same ER job (`bench.py --er-only`, deterministic synthetic source-code",
-        f"corpus, {report['n_files']} files, {report['n_candidates']} candidate pairs,",
-        f"pairwise F1 = {report['f1']}) at two parallelism levels (N and 4N cores),",
-        f"each leg cpuset-confined (`taskset -c 0-(N-1)`) to exactly its core",
-        "budget — GC threads, Python workers, and shuffle threads all share the",
-        "confined cores, exactly what an N-core executor container gets on a",
-        "real cluster (cgroup cpuset). Both legs run the IDENTICAL physical",
-        f"plan: `spark.sql.shuffle.partitions` is a job constant ({4 * N_LARGE}),",
-        "heap (24g) and `ParallelGCThreads` (=N) sized per leg as a",
-        "container-aware JVM would.",
-        f"Each launch runs the FULL pipeline {BENCH_REPS}× in one JVM and reports the",
-        "min (steady state); the cold rep is listed alongside.",
+        *intro,
         "",
         "| parallelism | warm wall sec | rep walls (cold first) | candidate-pairs/sec |",
         "|---|---|---|---|",
-        f"| local[{N_SMALL}]  | {report[f't_local{N_SMALL}_sec']} | {report[f'rep_secs_local{N_SMALL}']} | {report[f'pairs_per_sec_local{N_SMALL}']} |",
-        f"| local[{N_LARGE}] | {report[f't_local{N_LARGE}_sec']} | {report[f'rep_secs_local{N_LARGE}']} | {report[f'pairs_per_sec_local{N_LARGE}']} |",
+        f"| {_leg_label(N_SMALL)}  | {report[f't_local{N_SMALL}_sec']} | {report[f'rep_secs_local{N_SMALL}']} | {report[f'pairs_per_sec_local{N_SMALL}']} |",
+        f"| {_leg_label(N_LARGE)} | {report[f't_local{N_LARGE}_sec']} | {report[f'rep_secs_local{N_LARGE}']} | {report[f'pairs_per_sec_local{N_LARGE}']} |",
         "",
-        f"speedup (T{N_SMALL}/T{N_LARGE}) = **{report['speedup']}×** over a {int(ratio)}× core increase",
+        f"speedup (T{N_SMALL}/T{N_LARGE}) = **{report['speedup']}×** over a {int(ratio)}× "
+        + ("executor increase" if MODE == "executors" else "core increase"),
         f"→ scaling efficiency = (T{N_SMALL}/T{N_LARGE})/{int(ratio)} = **{report['scaling_efficiency']}**"
         + (" (meets the ≥0.8 north-rule bar)" if meets else " (below the 0.8 bar — see notes)"),
         "",
