@@ -406,6 +406,66 @@ def q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "agg_gradient_batch",
+    """
+    WITH t AS (
+      SELECT event_id % 8 AS batch,
+             value/100.0 AS x1,
+             (event_id % 7)/7.0 AS x2,
+             CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS label
+      FROM events
+    ), s AS (
+      SELECT batch, x1, x2, label,
+             1.0/(1.0+exp(-(0.25 + 0.7*x1 - 1.3*x2))) - label AS missed
+      FROM t
+    )
+    SELECT batch, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(missed), 6) AS b_grad,
+           round(sum(abs(missed)), 6) AS abs_missed_sum,
+           round(sum(x1*missed)/count(*), 6) AS g0,
+           round(sum(x2*missed)/count(*), 6) AS g1
+    FROM s GROUP BY batch
+    """,
+)
+def q_gradient_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch partial gradient reduction of the mini-batch LR loop
+    (src/logistic.c:346-472: per-batch gradient sums reduced across the
+    thread pool), exercised through the PRODUCTION Arrow kernel
+    (scoring._batch_gradient_kernel) at fixed weights w=(0.7,-1.3),
+    b=0.25 over features derived from the events table. Oracle:
+    closed-form SQL (gradient_j = sum(x_j*(sigmoid(w.x)-y))/n per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdataentityresolution_spark.operators.scoring import _batch_gradient_kernel
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(8)).alias("batch"),
+        (F.col("value") / F.lit(100.0)).alias("x1"),
+        (F.pmod(F.col("event_id"), F.lit(7)) / F.lit(7.0)).alias("x2"),
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("label"),
+    )
+    kernel, schema = _batch_gradient_kernel(("x1", "x2"), np.array([0.7, -1.3]), 0.25)
+
+    def with_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = kernel(pdf)
+        out.insert(0, "batch", [int(pdf["batch"].iloc[0])])
+        return out
+
+    res = ev.groupBy("batch").applyInPandas(with_batch, "batch long, " + schema)
+    return res.select(
+        "batch",
+        "n_pairs",
+        F.round("b_grad", 6).alias("b_grad"),
+        F.round("abs_missed_sum", 6).alias("abs_missed_sum"),
+        F.round("g0", 6).alias("g0"),
+        F.round("g1", 6).alias("g1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions & sorts/top-k (SURVEY.md §2.5, §2.6)
 # ---------------------------------------------------------------------------
