@@ -77,6 +77,18 @@ def bench_er_pipeline(spark) -> dict:
     # columnar storage whose aggregate bandwidth grows with executors. A
     # single local disk does not — it serializes the 32-thread run and
     # would benchmark the VM's disk, not the engine.
+    #
+    # SPARK_GRAFT_INPUT_PARTS=N > 0: repartition to N before caching. The
+    # raw scan of a ~1-2 GB corpus yields only ~12-16 input splits
+    # (maxPartitionBytes), so every downstream corpus pass (minhash
+    # sketch, tokenize+explode) runs as ONE wave of coarse skewed tasks
+    # at 16 cores (measured: the signature stage sat at (12+4)/16 tasks
+    # for most of its wall). Fine-grained cache partitions are what a
+    # production table gives anyway (a 100 TB Iceberg table has millions
+    # of splits); identical at both scaling legs.
+    n_parts = int(os.environ.get("SPARK_GRAFT_INPUT_PARTS", "0"))
+    if n_parts > 0:
+        files = files.repartition(n_parts)
     files = files.cache()
     pairs = pairs.cache()
     n_files = files.count()  # materializes the cache
@@ -170,7 +182,15 @@ def main() -> None:
     er_only = "--er-only" in sys.argv
     from bigdataentityresolution_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # No explicit master/shuffle args: get_spark resolves SPARK_GRAFT_MASTER
+    # (e.g. local-cluster[k,c,m] for the multi-executor scaling legs) and
+    # SPARK_GRAFT_SHUFFLE, defaulting to local[$SPARK_GRAFT_CPUS] / CPUS.
+    # r2 bug: explicit master=local[N] + shuffle_partitions=N here silently
+    # OVERRODE those envs — every "executors-mode" scaling leg actually ran
+    # a single local[N] JVM with shuffle=N (a DIFFERENT plan per leg, and a
+    # driver-sized-but-GC_THREADS=2 heap). Caught via event logs: all tasks
+    # reported Executor ID 'driver'.
+    spark = get_spark(app_name="bench")
 
     queries: dict[str, float] = {}
     er = bench_er_pipeline(spark)

@@ -44,10 +44,21 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
     Operates on the symmetric edge list: for node u with Γ(u),
     m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
-    """
-    sym = edges.select("a", "b").unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+
+    Symmetrization is a single-reference explode, NOT a self-union:
+    a union references the input subtree twice, which re-evaluates an
+    un-materialized upstream round twice AND breaks per-round
+    ``observe()`` signatures (a CollectMetrics node duplicated by
+    self-union fails metric collection — found when in-batch fixpoint
+    detection landed in r2)."""
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("e")
+    ).select(F.col("e.u").alias("a"), F.col("e.v").alias("b"))
     nbrs = sym.groupBy("a").agg(F.collect_set("b").alias("nb"))
     m = F.least(F.array_min("nb"), F.col("a"))
     out = nbrs.select(
@@ -94,10 +105,12 @@ def connected_components(
     serially, and the star fixpoint is idempotent — extra rounds past
     convergence are cheap no-ops, so a late fixpoint detection costs
     less than per-round barriers (r1 profiling: the CC loops were a
-    flat ~16 s regardless of core count). The signature itself rides the
-    checkpoint job as ``observe()`` metrics — zero extra scan, zero
-    extra driver barrier (r2: the separate signature job was ~1-1.5 s of
-    pure latency per batch at ANY core count). The signature is over the
+    flat ~16 s regardless of core count). EVERY round's signature rides
+    the one checkpoint job as ``observe()`` metrics — zero extra scan,
+    zero extra driver barrier — and fixpoint is detected from
+    consecutive in-batch signatures, so a run that converges inside a
+    batch never pays a trailing verify batch (r2: that extra batch was
+    3-4 s of flat latency per CC call). The signature is over the
     edge MULTISET, which is sound: both star rounds aggregate through
     ``collect_set``, so round output is a function of the input SET —
     once the set reaches fixpoint the multiset emitted by the next round
@@ -164,12 +177,22 @@ def connected_components(
         except (OSError, json.JSONDecodeError, KeyError):
             pass  # unreadable state → recompute from scratch
 
-    while rounds_done < max_iter:
+    converged = False
+    while rounds_done < max_iter and not converged:
+        # EVERY round in the batch carries its own observe() signature;
+        # all of them ride the ONE materializing action. Fixpoint is then
+        # detected from consecutive IN-BATCH signatures — the loop no
+        # longer needs a whole extra no-op batch (2 star shuffles + a
+        # driver barrier) just to see that the signature stopped moving
+        # (r2 executors-mode profiling: that trailing verify batch was a
+        # flat 3-4 s of latency per CC call at ANY core count).
+        observations = []
         for _ in range(checkpoint_every):
             e = orient(_large_star(e))
             e = orient(_small_star(e))
+            e, obs = with_signature(e)
+            observations.append(obs)
             rounds_done += 1
-        e, obs = with_signature(e)
         if checkpoint_dir:
             rpath = os.path.join(checkpoint_dir, f"round_{rounds_done}")
             e.write.mode("overwrite").parquet(rpath)
@@ -178,16 +201,35 @@ def connected_components(
             # cuts the doubling lineage; the eager job also delivers the
             # observe() signature metrics
             e = e.localCheckpoint(eager=True)
-        m_ = obs.get
-        sig = (int(m_["n"]), int(m_["h"]), int(m_["s"]))
+        try:
+            batch_sigs = [
+                (int(o.get["n"]), int(o.get["h"]), int(o.get["s"])) for o in observations
+            ]
+        except Exception:
+            # Degenerate plans (e.g. an EMPTY edge set collapses to a
+            # zero-task LocalTableScan) can skip the CollectMetrics nodes
+            # entirely — no metrics row, Observation.get fails. Fall back
+            # to one direct aggregation of the materialized batch output
+            # (old per-batch semantics: convergence then needs one more
+            # no-op batch — fine for the empty/degenerate case).
+            row = e.agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+                F.coalesce(
+                    F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31))), F.lit(0)
+                ).alias("s"),
+            ).collect()[0]
+            batch_sigs = [(int(row["n"]), int(row["h"]), int(row["s"]))]
+        for sig in batch_sigs:
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
         if manifest_path:
             tmp = manifest_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"round": rounds_done, "sig": list(sig)}, f)
+                json.dump({"round": rounds_done, "sig": list(prev_sig)}, f)
             os.replace(tmp, manifest_path)  # atomic: kill-safe
-        if sig == prev_sig:
-            break
-        prev_sig = sig
 
     # At fixpoint the edges form stars; canonical orientation (a < b)
     # puts the component-min root at `a`, members at `b`.

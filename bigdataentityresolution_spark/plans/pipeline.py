@@ -31,6 +31,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import sys
+import time
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,6 +105,21 @@ def verify_content_invariant(source: DataFrame, staged: DataFrame, id_col: str =
     )
 
 
+def _phase_logger():
+    """SPARK_GRAFT_PHASE_LOG=1 → timestamped phase lines on stderr.
+    The decomposition tool behind the scaling work: wall attribution of
+    driver-side DAG-build/plan time vs cluster-side job time (event logs
+    only show the latter — the gaps between jobs are invisible there)."""
+    if os.environ.get("SPARK_GRAFT_PHASE_LOG") != "1":
+        return lambda msg: None
+    t0 = time.time()
+
+    def log(msg: str) -> None:
+        print(f"[er-phase +{time.time() - t0:7.2f}s] {msg}", file=sys.stderr, flush=True)
+
+    return log
+
+
 def run_er_pipeline(
     spark: SparkSession,
     files: DataFrame,
@@ -115,6 +132,7 @@ def run_er_pipeline(
     files: (spec_id, repo, path, commit, lang, content[, content_sha])
     labeled_pairs: (left_spec_id, right_spec_id, label[, split])
     """
+    plog = _phase_logger()
     runner = StageRunner(spark, workdir)
     fp_files = config.fingerprint("files")
     tok = tokenize("content")
@@ -249,24 +267,54 @@ def run_er_pipeline(
     # dependent forks — concurrent first-touch of an unmaterialized
     # cache would race block computation.
     def run_closure():
-        return runner.run("closure", closure, fp_labels)
+        plog("closure: start")
+        out = runner.run("closure", closure, fp_labels)
+        plog("closure: done")
+        return out
 
     def run_train_and_fit():
+        plog("train_features: DAG build start")
         tp = runner.run("train_features", train_features, fp_labels).cache()
-        return tp, S.fit_lr_newton(tp, max_rounds=config.newton_rounds)
+        plog("train_features: DAG built, materializing")
+        model = S.fit_lr_newton(tp, max_rounds=config.newton_rounds)
+        plog("fit: done")
+        return tp, model
+
+    def in_pool(name: str, fn):
+        """Tag a job group's thread with its own FAIR scheduler pool
+        (session sets spark.scheduler.mode=FAIR; fairness is BETWEEN
+        pools, so each concurrent group gets one — a short job then gets
+        task slots immediately instead of queueing behind every wave of
+        a long one). Local properties are per-Python-thread under
+        pinned-thread mode (PySpark default)."""
+
+        def wrapped():
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+            try:
+                return fn()
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        return wrapped
 
     if config.overlap_jobs:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
-            closure_future = pool.submit(run_closure)
+            closure_future = pool.submit(in_pool("closure", run_closure))
+            plog("sigs.count: start")
             sigs.count()  # the one dependency group C reads
-            cand_future = pool.submit(candidates.count)
+            plog("sigs.count: done; forking candidates")
+            cand_future = pool.submit(in_pool("candidates", candidates.count))
             docs_prep.count()  # group B's heavy dependency, main thread
-            fit_future = pool.submit(run_train_and_fit)
+            plog("docs_prep.count: done; forking train+fit")
+            fit_future = pool.submit(in_pool("train", run_train_and_fit))
             train_pairs, model = fit_future.result()
+            plog("train+fit: joined")
             cand_future.result()
+            plog("candidates.count: joined")
             closure_raw = closure_future.result()
+            plog("closure: joined")
     else:
         closure_raw = run_closure()
         train_pairs, model = run_train_and_fit()
@@ -284,8 +332,10 @@ def run_er_pipeline(
             lev_bound=config.lev_bound, sig_prefilter=config.sig_prefilter,
         ).select("a", "b", *S.FEATURE_COLS, "f_vocab_cov")
 
+    plog("cand_features: DAG build start")
     cand_feats = runner.run("cand_features", cand_features, fp_files).cache()
     scored = S.predict(cand_feats, model)
+    plog("cand_features+predict: DAG built")
 
     # ---- stage: one self-training round (count_retrain < 1, src/functs.c:1717)
     if config.self_train:
@@ -345,9 +395,11 @@ def run_er_pipeline(
             edges, nodes=files.select("spec_id"), checkpoint_dir=cc_dir
         )
 
+    plog("final_cluster: start")
     final_labels = runner.run(
         "cluster", final_cluster, config.fingerprint("cluster" + str(thr))
     )
+    plog("final_cluster: done")
 
     matches = C.extract_matches(final_labels)
 

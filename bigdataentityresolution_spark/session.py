@@ -89,8 +89,24 @@ def _executor_jvm_opts() -> str:
     """Executor JVM flags (separate executor processes: local-cluster /
     standalone / YARN / K8s; ignored by local[N] where tasks run in the
     driver JVM). SPARK_GRAFT_EXEC_GC_THREADS caps GC workers to the
-    executor's core budget for cpuset-confined scaling runs."""
+    executor's core budget for cpuset-confined scaling runs.
+
+    The heap gets the SAME treatment the driver earned in r1 (see the
+    comment block in get_spark): -Xms pinned to -Xmx, pre-touched pages,
+    and a young gen of ~half the heap. Measured on the multi-executor
+    scaling leg (8×8g executors, 384k-file corpus): default lazy-grow
+    executor heaps spent 606 s in GC out of 2071 task-CPU-s (29%, one
+    explode-heavy stage alone burned 264 s); pinned+pre-touched heaps
+    with a large young gen removed it, exactly as on the driver. Spark
+    owns -Xmx (spark.executor.memory) — we align -Xms/-Xmn to it via
+    SPARK_GRAFT_EXECUTOR_MEM."""
     opts = ["-XX:+UseParallelGC"]
+    mem = (os.environ.get("SPARK_GRAFT_EXECUTOR_MEM") or "").strip().lower()
+    m = re.fullmatch(r"(\d+)([gm])", mem)
+    if m:
+        mb = int(m.group(1)) * (1024 if m.group(2) == "g" else 1)
+        if mb >= 2048:
+            opts += [f"-Xms{mb}m", "-XX:+AlwaysPreTouch", f"-Xmn{mb // 2}m"]
     gc_threads = os.environ.get("SPARK_GRAFT_EXEC_GC_THREADS")
     if gc_threads:
         opts.append(f"-XX:ParallelGCThreads={gc_threads}")
@@ -124,6 +140,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # FAIR task scheduling between job pools: the ER pipeline submits
+        # independent stage groups as concurrent jobs from separate
+        # threads (plans/pipeline.py), each tagged with its own pool.
+        # Under default FIFO a short job (train featurization + fit)
+        # queues behind every wave of a long one (candidate generation)
+        # — measured in executors mode: the fit waited ~17 s for task
+        # slots while its input was long since materialized. Between-pool
+        # FAIR gives each group a share of slots immediately.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
