@@ -208,6 +208,14 @@ def run_once(cpus: int) -> dict:
             # under concurrent job groups (seen in r2 profiling runs).
             SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
             SPARK_GRAFT_GC_THREADS="2",
+            # local-cluster WORKERS override spark.local.dir (standalone
+            # SPARK_LOCAL_DIRS wins), so without this the executors
+            # shuffle to the root disk while local[N] shuffles to tmpfs —
+            # and 4N executors contend on that one disk harder than N
+            # (measured: 226-265 task-core-s of shuffle-write time per
+            # leg on /tmp). A real cluster's shuffle bandwidth grows with
+            # executors; tmpfs is the single-box stand-in.
+            SPARK_LOCAL_DIRS=os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
             PYSPARK_PYTHON=sys.executable,
             PYSPARK_DRIVER_PYTHON=sys.executable,
         )
