@@ -155,7 +155,7 @@ def bench_ann(spark) -> float:
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     queries = emb.limit(64).select(F.col("vec_id").alias("query_id"), "embedding")
     t0 = time.time()
-    lsh_topk(emb, queries, k=10).count()
+    lsh_topk(emb, queries, k=10, dim=64).count()
     return time.time() - t0
 
 

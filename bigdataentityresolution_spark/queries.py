@@ -952,7 +952,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5)
+    return lsh_topk(emb, queries, k=5, dim=_EMB_DIM)
 
 
 def _ivf_cells_sql() -> str:
@@ -1010,7 +1010,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, dim=_EMB_DIM)
 
 
 # ---------------------------------------------------------------------------
@@ -1092,6 +1092,181 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("a"), "b")
     )
     return connected_components(edges, nodes=d.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Pair sinks (SURVEY.md §2.1 — the program's actual output relations:
+# extractMatches / extractNegatives, reference src/myMatches.c:255-405)
+# ---------------------------------------------------------------------------
+
+# Shared oracle scaffold: recursive-CTE connected components over the
+# deterministic chain edges (consecutive doc_ids sharing a language) —
+# the same closure the green `connected_components_chains` row verifies.
+_CHAIN_LABELS_CTE = """
+    WITH RECURSIVE e AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2
+        ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+    ), sym AS (
+      SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+    ), lab AS (
+      SELECT node AS spec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+"""
+
+
+def _chain_labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic labeled-pairs relation over documents: consecutive
+    doc_ids are labeled 1 (match) when they share a language, 0
+    (cannot-link) otherwise — gives the closure a non-trivial mix of
+    must-link chains and cross-cluster negative edges."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("lang").alias("lang2"),
+        F.col("doc_id").alias("right_spec_id"),
+    )
+    return (
+        d.join(nxt, "doc_id")
+        .select(
+            F.col("doc_id").alias("left_spec_id"),
+            "right_spec_id",
+            F.when(F.col("lang") == F.col("lang2"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("label"),
+        )
+    )
+
+
+@_register(
+    "pair_sink_matches",
+    _CHAIN_LABELS_CTE
+    + """
+    SELECT l1.spec_id AS a, l2.spec_id AS b, CAST(1 AS INT) AS label
+    FROM lab l1 JOIN lab l2
+      ON l1.cluster_id = l2.cluster_id AND l1.spec_id < l2.spec_id
+    """,
+)
+def q_pair_sink_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positives sink (extractMatches, src/myMatches.c:255-330): full
+    transitive-closure expansion of the label closure into (a, b, 1)
+    within-cluster pairs — verified against a recursive-CTE + self-join
+    DuckDB oracle over the same deterministic chain labels."""
+    from bigdataentityresolution_spark.operators.clustering import (
+        closure_from_labeled_pairs,
+        extract_matches,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    labels, _neg = closure_from_labeled_pairs(
+        _chain_labeled_pairs(spark, sf_dir), nodes=d
+    )
+    return extract_matches(labels)
+
+
+@_register(
+    "pair_sink_negatives",
+    _CHAIN_LABELS_CTE
+    + """
+    , negraw AS (
+      SELECT d1.doc_id AS l, d2.doc_id AS r
+      FROM documents d1 JOIN documents d2
+        ON d2.doc_id = d1.doc_id + 1 AND d1.lang <> d2.lang
+    ), nedges AS (
+      SELECT DISTINCT least(la.cluster_id, lb.cluster_id) AS cid_a,
+                      greatest(la.cluster_id, lb.cluster_id) AS cid_b
+      FROM negraw JOIN lab la ON la.spec_id = negraw.l
+                  JOIN lab lb ON lb.spec_id = negraw.r
+      WHERE la.cluster_id <> lb.cluster_id
+    )
+    SELECT DISTINCT least(ma.spec_id, mb.spec_id) AS a,
+                    greatest(ma.spec_id, mb.spec_id) AS b,
+                    CAST(0 AS INT) AS label
+    FROM nedges JOIN lab ma ON ma.cluster_id = nedges.cid_a
+                JOIN lab mb ON mb.cluster_id = nedges.cid_b
+    """,
+)
+def q_pair_sink_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The negatives sink (extractNegatives, src/myMatches.c:332-405):
+    members(cid_a) × members(cid_b) for every cannot-link cluster edge,
+    normalized a<b and deduplicated — the oracle remaps the raw label-0
+    pairs through the recursive-CTE labels and expands identically."""
+    from bigdataentityresolution_spark.operators.clustering import (
+        closure_from_labeled_pairs,
+        extract_negatives,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    labels, neg_edges = closure_from_labeled_pairs(
+        _chain_labeled_pairs(spark, sf_dir), nodes=d
+    )
+    return extract_negatives(labels, neg_edges)
+
+
+@_register(
+    "strong_matches",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({X.tokenize_sql('text')}) AS t FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, a.t AS ta, b.t AS tb
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+      UNION ALL
+      SELECT doc_id AS a, doc_id + 1000000 AS b, t AS ta, t AS tb FROM toks
+    ), j AS (
+      SELECT a, b,
+        round(CASE WHEN len(list_distinct(list_concat(ta, tb))) = 0 THEN 0.0
+              ELSE len(list_intersect(ta, tb)) * 1.0 /
+                   len(list_distinct(list_concat(ta, tb))) END, 9) AS jac
+      FROM pairs
+    )
+    SELECT a, b, round(1.0 / (1.0 + exp(-(8.0 * jac - 3.0))), 6) AS proba
+    FROM j
+    WHERE round(1.0 / (1.0 + exp(-(8.0 * jac - 3.0))), 6) >= 0.85
+    """,
+)
+def q_strong_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong-matches sink (getStrongMatches — disabled in the reference
+    build, SURVEY.md §2.1 / src/functs.c:2137-2199): scored pairs above
+    the 0.85 confidence floor. Scores are a deterministic sigmoid over
+    token-set Jaccard of (consecutive-doc ∪ self-copy) pairs, so the
+    floor filters a known mix: self-copies (J=1, proba≈0.993) pass,
+    chain pairs mostly don't — the sink's filter semantics are exercised
+    non-vacuously."""
+    from bigdataentityresolution_spark.functions.similarity import jaccard_arrays
+    from bigdataentityresolution_spark.operators.clustering import (
+        extract_strong_matches,
+    )
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(X.tokenize("text")).alias("toks")
+    )
+    left = d.select(F.col("doc_id").alias("a"), F.col("toks").alias("ta"))
+    right = d.select(
+        (F.col("doc_id") - 1).alias("a"),
+        F.col("doc_id").alias("b"),
+        F.col("toks").alias("tb"),
+    )
+    consec = left.join(right, "a")
+    dup = d.select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("b"),
+        F.col("toks").alias("ta"),
+        F.col("toks").alias("tb"),
+    )
+    pairs = consec.select("a", "b", "ta", "tb").unionByName(
+        dup.select("a", "b", "ta", "tb")
+    )
+    jac = F.round(jaccard_arrays(F.col("ta"), F.col("tb")), 9)
+    proba = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(8.0) * jac - F.lit(3.0)))), 6
+    )
+    scored = pairs.select("a", "b", proba.alias("proba"))
+    return extract_strong_matches(scored, proba_floor=0.85)
 
 
 # ---------------------------------------------------------------------------
