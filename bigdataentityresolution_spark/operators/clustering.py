@@ -84,6 +84,35 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _observation_sigs(observations, timeout_sec: float = 10.0) -> list:
+    """Bounded-wait collection of the per-round observe() signatures.
+
+    ADVICE.md r2: ``Observation.get`` awaits the Scala metrics future with
+    Duration.Inf — if a materializing action ever completed WITHOUT
+    delivering a registered observation's row (and without erroring
+    through py4j), a direct ``.get`` would hang the CC loop forever. So
+    poll the JVM-side non-blocking ``getOrEmpty`` (itself a 100 ms wait
+    per call) until the row is delivered or the shared deadline passes;
+    ``.get`` is then guaranteed not to block. The materializing action
+    has already finished when this runs, so the delivered case returns on
+    the first poll; only degenerate plans (e.g. an empty edge set
+    collapsing to a zero-task LocalTableScan, which skips CollectMetrics
+    entirely) pay the timeout before the caller's direct-agg fallback."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    sigs = []
+    for o in observations:
+        if o._jo is None:
+            raise RuntimeError("observation never attached to a plan")
+        while o._jo.getOrEmpty().isEmpty():
+            if time.monotonic() > deadline:
+                raise TimeoutError("observe() metrics not delivered in time")
+        row = o.get
+        sigs.append((int(row["n"]), int(row["h"]), int(row["s"])))
+    return sigs
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -202,9 +231,7 @@ def connected_components(
             # observe() signature metrics
             e = e.localCheckpoint(eager=True)
         try:
-            batch_sigs = [
-                (int(o.get["n"]), int(o.get["h"]), int(o.get["s"])) for o in observations
-            ]
+            batch_sigs = _observation_sigs(observations)
         except Exception:
             # Degenerate plans (e.g. an EMPTY edge set collapses to a
             # zero-task LocalTableScan) can skip the CollectMetrics nodes

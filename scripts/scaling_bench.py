@@ -172,6 +172,36 @@ def random_access_probe(n_small: int, n_large: int) -> dict:
     }
 
 
+def _executor_local_dir(min_free_gb: int | None = None) -> str:
+    """SPARK_LOCAL_DIRS for the local-cluster workers.
+
+    tmpfs is the single-box stand-in for cluster-proportional shuffle
+    bandwidth (see the env comment in run_once), but ADVICE.md r2: on a
+    host with a small /dev/shm the executor legs die mid-benchmark with
+    ENOSPC instead of degrading. Guard on measured headroom (the warm ER
+    bench writes a few GB of shuffle; 16 GB default floor, override via
+    SPARK_GRAFT_SHM_MIN_GB) and fall back to /tmp with a visible note."""
+    explicit = os.environ.get("SPARK_LOCAL_DIRS")
+    if explicit:
+        return explicit
+    if min_free_gb is None:
+        min_free_gb = int(os.environ.get("SPARK_GRAFT_SHM_MIN_GB", "16"))
+    try:
+        st = os.statvfs("/dev/shm")
+        free_gb = st.f_bavail * st.f_frsize // (1 << 30)
+        if free_gb >= min_free_gb:
+            os.makedirs("/dev/shm/spark-local", exist_ok=True)
+            return "/dev/shm/spark-local"
+        print(
+            f"WARN: /dev/shm has {free_gb} GiB free < {min_free_gb} GiB floor; "
+            "executor shuffle falls back to /tmp (slower, disk-bound)",
+            file=sys.stderr,
+        )
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def run_once(cpus: int) -> dict:
     """One fresh-JVM ER bench launch, cpuset-confined to exactly `cpus`
     hardware threads (what an N-core executor container gets via cgroup
@@ -215,7 +245,7 @@ def run_once(cpus: int) -> dict:
             # (measured: 226-265 task-core-s of shuffle-write time per
             # leg on /tmp). A real cluster's shuffle bandwidth grows with
             # executors; tmpfs is the single-box stand-in.
-            SPARK_LOCAL_DIRS=os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+            SPARK_LOCAL_DIRS=_executor_local_dir(),
             PYSPARK_PYTHON=sys.executable,
             PYSPARK_DRIVER_PYTHON=sys.executable,
         )

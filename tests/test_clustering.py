@@ -120,6 +120,20 @@ def test_extract_matches_and_negatives(spark):
     assert negatives == {(x, y) for x in "abc" for y in "de"}
 
 
+def test_extract_strong_matches_floor(spark):
+    """getStrongMatches semantics (disabled in the reference build,
+    src/functs.c:2137-2199): keep scored pairs with proba >= floor,
+    inclusive at the boundary, schema (a, b, proba)."""
+    scored = spark.createDataFrame(
+        [("a", "b", 0.99), ("c", "d", 0.85), ("e", "f", 0.8499), ("g", "h", 0.1)],
+        "a string, b string, proba double",
+    )
+    out = C.extract_strong_matches(scored, proba_floor=0.85)
+    assert out.columns == ["a", "b", "proba"]
+    got = {(r["a"], r["b"]): r["proba"] for r in out.collect()}
+    assert got == {("a", "b"): 0.99, ("c", "d"): 0.85}
+
+
 def test_label_candidate_pairs_ispair_semantics(spark):
     pairs = spark.createDataFrame(
         [("a", "b", 1), ("d", "e", 1), ("a", "d", 0)],

@@ -98,6 +98,126 @@ def test_threshold_clamp_bounds():
     assert m4.threshold == pytest.approx(0.5 + (0.5 / -1.0) * 0.5)
 
 
+def test_fit_lr_newton_distributed_matches_driver_local(spark, separable):
+    """The n > driver_fit_max branch (distributed per-batch gradient +
+    Hessian partials, scoring.py) must produce the same fit as the
+    driver-local toPandas path — same math, different summation route
+    (VERDICT.md r2 #7: this branch previously had no CI coverage)."""
+    df, x, y = separable
+    m_local = S.fit_lr_newton(df, max_rounds=6)
+    m_dist = S.fit_lr_newton(df, max_rounds=6, driver_fit_max=100)  # 600 rows > 100
+    assert np.allclose(m_local.w(), m_dist.w(), atol=1e-6)
+    assert abs(m_local.bias - m_dist.bias) < 1e-6
+    assert m_local.threshold == pytest.approx(m_dist.threshold, abs=1e-9)
+    assert m_dist.rounds_trained > 0
+
+
+def np_irls(x, y, rounds=5, ridge=1e-3, tol=1e-4):
+    """NumPy replica of fit_lr_newton's math (intercept unpenalized,
+    n-scaled ridge, Newton steps, |step|<tol stop) incl. threshold."""
+    n, d = x.shape
+    xb = np.column_stack([np.ones(n), x])
+    beta = np.zeros(d + 1)
+    penalty = np.eye(d + 1) * (ridge * max(1.0, float(n)))
+    penalty[0, 0] = 0.0
+    threshold, fit1, fit0 = 0.5, 0, 0
+    n_pos, n_neg = int((y == 1).sum()), int((y == 0).sum())
+    for _ in range(rounds):
+        p = 1.0 / (1.0 + np.exp(-(xb @ beta)))
+        g = xb.T @ (p - y)
+        h = xb.T @ (xb * (p * (1 - p))[:, None]) + penalty
+        step = np.linalg.solve(h, g)
+        beta = beta - step
+        fit1 += n_pos
+        fit0 += n_neg
+        if threshold >= 0.8:
+            threshold = 0.8
+        elif threshold <= 0.2:
+            threshold = 0.2
+        else:
+            if fit1 > fit0:
+                rate = float(fit1) if fit0 == 0 else fit1 / fit0
+            else:
+                rate = -float(fit0) if fit1 == 0 else -fit0 / fit1
+            threshold += (threshold / rate) * threshold
+        if float(np.abs(step).max()) < tol:
+            break
+    return beta[1:], beta[0], threshold
+
+
+def test_self_train_round_matches_numpy_reference(spark, separable):
+    """Full reference self-training semantics end-to-end vs a NumPy
+    replica (SURVEY.md §5.2 item 3; src/functs.c:1671-1728): train an
+    initial model, score unlabeled candidates, select pseudo-labels via
+    the half-open confidence band [0.85, 1.0) / (0.0, 0.15], drop
+    already-known pairs, cap at pairs_limit = 12 × train size in
+    confidence-then-pair order, then refit ONE round on train ∪ pseudo —
+    the refit weights/bias/threshold must match the NumPy replica."""
+    df, x, y = separable
+    model = S.fit_lr_newton(df, max_rounds=5)
+
+    # deterministic unlabeled candidates: confident matches, confident
+    # non-matches, and an uncertain band that must be dropped
+    rng = np.random.default_rng(7)
+    n_cand = 300
+    xc = np.zeros((n_cand, 3))
+    kind = np.arange(n_cand) % 3  # 0: match-like, 1: non-match-like, 2: uncertain
+    for j in range(3):
+        xc[:, j] = np.where(
+            kind == 0,
+            rng.uniform(0.8, 1.0, n_cand),
+            np.where(kind == 1, rng.uniform(0.0, 0.2, n_cand), rng.uniform(0.45, 0.55, n_cand)),
+        )
+    cand_rows = [
+        (f"c{i:04d}", f"d{i:04d}", float(a), float(b), float(c))
+        for i, (a, b, c) in enumerate(xc)
+    ]
+    cand = spark.createDataFrame(
+        cand_rows, "a string, b string, f_cosine double, f_jaccard double, f_lev double"
+    )
+    scored = S.predict(cand, model)
+    known = spark.createDataFrame([("c0000", "d0000")], "a string, b string")
+    train_size = len(y)
+    limit = 12 * train_size
+    pseudo = S.self_training_pseudo_labels(scored, known_pairs=known, limit=limit)
+
+    # ---- NumPy replica of band selection ----
+    w, b = model.w(), model.bias
+    p = 1.0 / (1.0 + np.exp(-(b + xc @ w)))
+    sel = []
+    for i in range(n_cand):
+        if (f"c{i:04d}", f"d{i:04d}") == ("c0000", "d0000"):
+            continue  # known pair dropped
+        if 0.85 <= p[i] < 1.0:
+            sel.append((i, 1))
+        elif 0.0 < p[i] <= 0.15:
+            sel.append((i, 0))
+    sel.sort(key=lambda t: (-max(p[t[0]], 1 - p[t[0]]), f"c{t[0]:04d}", f"d{t[0]:04d}"))
+    sel = sel[:limit]
+    got = {(r["a"], r["b"]): r["label"] for r in pseudo.collect()}
+    expect = {(f"c{i:04d}", f"d{i:04d}"): lbl for i, lbl in sel}
+    assert got == expect
+
+    # ---- exactly one retrain round over train ∪ pseudo, vs NumPy IRLS ----
+    refit_input = df.select(
+        F.lit("t").alias("a"), F.lit("t").alias("b"), "label", *S.FEATURE_COLS
+    ).unionByName(pseudo.select("a", "b", "label", *S.FEATURE_COLS))
+    refit = S.fit_lr_newton(refit_input, max_rounds=5)
+
+    x_all = np.vstack([x, xc[[i for i, _ in sel]]])
+    y_all = np.concatenate([y, np.array([lbl for _, lbl in sel], dtype=float)])
+    w_np, b_np, t_np = np_irls(x_all, y_all, rounds=5)
+    assert np.allclose(refit.w(), w_np, atol=1e-8), (refit.weights, w_np)
+    assert abs(refit.bias - b_np) < 1e-8
+    assert refit.threshold == pytest.approx(t_np, abs=1e-12)
+
+    # quality: the refit model still separates the candidate bands
+    rescored = S.predict(cand, refit)
+    hi = rescored.filter(F.col("f_cosine") >= 0.8).agg(F.min("proba")).collect()[0][0]
+    lo = rescored.filter(F.col("f_cosine") <= 0.2).agg(F.max("proba")).collect()[0][0]
+    assert hi > 0.9 and lo < 0.1
+
+
 def test_self_training_band_and_dedup(spark):
     scored = spark.createDataFrame(
         [
