@@ -61,7 +61,7 @@ def ensure_corpus(spark):
     )
 
 
-def bench_er_pipeline(spark) -> dict:
+def bench_er_pipeline(spark, self_train: bool = True) -> dict:
     from pyspark.sql import functions as F
 
     from bigdataentityresolution_spark.plans.pipeline import (
@@ -107,7 +107,7 @@ def bench_er_pipeline(spark) -> dict:
     for _ in range(max(1, reps)):
         t0 = time.time()
         result = run_er_pipeline(
-            spark, files, pairs, workdir=None, config=ERConfig(self_train=False)
+            spark, files, pairs, workdir=None, config=ERConfig(self_train=self_train)
         )
         n_candidates = result["candidates"].count()
         n_clusters = result["labels"].select("cluster_id").distinct().count()
@@ -121,6 +121,7 @@ def bench_er_pipeline(spark) -> dict:
     return {
         "sec": elapsed,
         "rep_secs": [round(s, 3) for s in rep_secs],
+        "self_train": self_train,
         "n_files": n_files,
         "n_candidates": n_candidates,
         "n_clusters": n_clusters,
@@ -178,6 +179,46 @@ def bench_tpch_q1(spark) -> float:
     return time.time() - t0
 
 
+def _prior_round_queries() -> dict[str, float]:
+    """Latest committed BENCH_r{N}.json's per-query walls (empty if none) —
+    the baseline for the round-over-round regression check (VERDICT.md r2
+    #2: a 2x tfidf_flagship regression shipped with nothing noticing)."""
+    import glob
+    import re
+
+    best_n, best = -1, {}
+    for p in glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                obj = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        obj = obj.get("parsed", obj)
+        if int(m.group(1)) > best_n and isinstance(obj.get("queries"), dict):
+            best_n, best = int(m.group(1)), obj["queries"]
+    return best
+
+
+def _regressions(queries: dict[str, float], threshold: float = 1.3) -> dict:
+    prior = _prior_round_queries()
+    out = {}
+    for name, now in queries.items():
+        prev = prior.get(name)
+        if prev is None and name == "er_pipeline_noselftrain":
+            # r1/r2 benched er_pipeline with self_train=False — that key
+            # is the comparable ancestor of the noselftrain variant
+            prev = prior.get("er_pipeline")
+        elif name == "er_pipeline" and "er_pipeline_noselftrain" in queries and \
+                "er_pipeline_noselftrain" not in prior:
+            continue  # prior er_pipeline was the noselftrain variant
+        if prev and prev > 0 and now / prev > threshold:
+            out[name] = {"prev": prev, "now": now, "ratio": round(now / prev, 2)}
+    return out
+
+
 def main() -> None:
     er_only = "--er-only" in sys.argv
     from bigdataentityresolution_spark.session import get_spark
@@ -192,10 +233,27 @@ def main() -> None:
     # reported Executor ID 'driver'.
     spark = get_spark(app_name="bench")
 
+    # Headline = the REFERENCE-SHAPED pipeline (self_train=True: exactly
+    # one retrain round, src/functs.c:1716-1724). SPARK_GRAFT_SELF_TRAIN=0
+    # benches the no-self-train variant instead (used where a leg must
+    # stay comparable to a prior protocol).
+    self_train = os.environ.get("SPARK_GRAFT_SELF_TRAIN", "1") != "0"
     queries: dict[str, float] = {}
-    er = bench_er_pipeline(spark)
+    er = bench_er_pipeline(spark, self_train=self_train)
     queries["er_pipeline"] = round(er["sec"], 3)
+    er_nst = None
     if not er_only:
+        if self_train:
+            # comparability variant: r1/r2 benched self_train=False
+            er_nst = bench_er_pipeline(spark, self_train=False)
+            queries["er_pipeline_noselftrain"] = round(er_nst["sec"], 3)
+        # Root cause of the r2 "tfidf_flagship 2x regression" (VERDICT r2
+        # #2): the ER phase leaves its corpus/stage caches resident, and
+        # the later single-shot queries then run under executor-memory
+        # pressure + eviction churn (measured: tfidf 7.6 s with caches
+        # held, 2.4 s after clearCache — same JVM, same data). Each bench
+        # phase must start from a cache-clean session.
+        spark.catalog.clearCache()
         queries["tfidf_flagship"] = round(bench_tfidf(spark), 3)
         queries["dedup_minhash"] = round(bench_dedup(spark), 3)
         queries["ann_lsh_topk"] = round(bench_ann(spark), 3)
@@ -211,6 +269,14 @@ def main() -> None:
         "er": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in er.items()},
         "total_sec": round(sum(queries.values()), 3),
     }
+    if er_nst is not None:
+        out["er_noselftrain"] = {
+            k: (round(v, 3) if isinstance(v, float) else v) for k, v in er_nst.items()
+        }
+    regressions = _regressions(queries)
+    if regressions:
+        out["regressions"] = regressions
+        print(f"WARN per-query regressions vs prior round: {regressions}", file=sys.stderr)
     spark.stop()
     print(json.dumps(out))
 
