@@ -563,6 +563,14 @@ def self_training_pseudo_labels(
     )
     fresh = banded.join(known, ["a", "b"], "left_anti")
     if limit is not None:
+        # Apply the cap only when it binds: an exact global top-`limit`
+        # funnels `limit` rows through ONE partition (Sort + GlobalLimit),
+        # and pairs_limit = 12 x train size can be millions — paying that
+        # concentration point when fresh already fits under the cap is a
+        # pure scaling loss (the common case at scale: the confidence
+        # band + known-pair anti-join leave far fewer than 12x train).
+        # The count is a cheap barrier over the already-filtered relation.
         conf = F.greatest(F.col("proba"), F.lit(1.0) - F.col("proba"))
-        fresh = fresh.orderBy(F.desc(conf), "a", "b").limit(limit)
+        if fresh.count() > limit:
+            fresh = fresh.orderBy(F.desc(conf), "a", "b").limit(limit)
     return fresh

@@ -20,6 +20,10 @@ Methodology (round 2 — see BENCH/BASELINE.md notes):
   run does not. The cold rep is also recorded.
 - One fresh-JVM launch per core count (SPARK_GRAFT_SCALING_REPS for
   more).
+- Round 3: SPARK_GRAFT_SCALING_PAIRS (default 5) interleaved
+  fresh-launch pairs — hw probes + both legs back-to-back, leg order
+  alternating — reported as a DISTRIBUTION (median + min/max), because
+  the shared host's own ceiling drifts between windows (VERDICT r2 #1).
 
 efficiency = (T_N / T_4N) / 4   (1.0 = perfect linear scaling)
 """
@@ -269,52 +273,89 @@ def run(cpus: int) -> dict:
     return best
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def _leg_label(cpus: int) -> str:
     if MODE == "executors":
         return f"local-cluster[{max(1, cpus // CORES_PER_EXEC)},{CORES_PER_EXEC},{EXEC_MEM_MB}]"
     return f"local[{cpus}]"
 
 
-def _median3(probe, key: str) -> dict:
-    """Median-of-3 probe runs by the efficiency key — the shared KVM
-    host adds ±10% run-to-run noise a single 4 s window can't average."""
-    runs = sorted((probe(N_SMALL, N_LARGE) for _ in range(3)), key=lambda r: r[key])
-    out = runs[1]
-    out["note"] = "median of 3 warmed, core-pinned probe runs"
-    return out
-
-
 def main() -> None:
-    hw = _median3(cpu_ceiling_probe, "hw_efficiency")
-    bw = _median3(mem_bw_probe, "stream_efficiency")
-    ra = _median3(random_access_probe, "rand_efficiency")
-    r_small = run(N_SMALL)
-    r_large = run(N_LARGE)
+    """Interleaved paired protocol (VERDICT.md r2 #1): the shared KVM
+    host's own parallel ceiling drifts between measurement windows
+    (observed same-code efficiencies 0.953 / 0.674 / 0.649, and the
+    hardware probes themselves moved 0.678 -> 1.027), so a single
+    fresh-launch pair cannot support a pass/fail claim around 0.8.
+    Instead run SPARK_GRAFT_SCALING_PAIRS fresh-launch pairs, each pair
+    = (hw probes + small leg + large leg) launched back-to-back with the
+    LEG ORDER ALTERNATING between pairs, so slow host drift hits both
+    legs symmetrically; report the per-pair efficiency DISTRIBUTION
+    (median + min/max) alongside the per-pair probe readings."""
+    pairs_n = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "5"))
     ratio = N_LARGE / N_SMALL
+    pair_rows = []
+    r_small_last = None
+    for i in range(pairs_n):
+        hw = cpu_ceiling_probe(N_SMALL, N_LARGE)
+        bw = mem_bw_probe(N_SMALL, N_LARGE)
+        ra = random_access_probe(N_SMALL, N_LARGE)
+        legs = [N_SMALL, N_LARGE] if i % 2 == 0 else [N_LARGE, N_SMALL]
+        results = {}
+        for cpus in legs:
+            results[cpus] = run(cpus)
+        r_small_last = results[N_SMALL]
+        t_small = results[N_SMALL]["er"]["sec"]
+        t_large = results[N_LARGE]["er"]["sec"]
+        row = {
+            "pair": i,
+            "leg_order": "small-first" if i % 2 == 0 else "large-first",
+            "t_small": round(t_small, 2),
+            "t_large": round(t_large, 2),
+            "rep_secs_small": results[N_SMALL]["er"].get("rep_secs"),
+            "rep_secs_large": results[N_LARGE]["er"].get("rep_secs"),
+            "efficiency": round((t_small / t_large) / ratio, 3),
+            "hw_arith_eff": hw["hw_efficiency"],
+            "hw_stream_eff": bw["stream_efficiency"],
+            "hw_random_eff": ra["rand_efficiency"],
+        }
+        pair_rows.append(row)
+        print(json.dumps(row), flush=True)
 
-    t_small, t_large = r_small["er"]["sec"], r_large["er"]["sec"]
-    eff = (t_small / t_large) / ratio
+    effs = [r["efficiency"] for r in pair_rows]
+    med_eff = round(_median(effs), 3)
+    t_smalls = [r["t_small"] for r in pair_rows]
+    t_larges = [r["t_large"] for r in pair_rows]
+    med_small, med_large = _median(t_smalls), _median(t_larges)
+    er = r_small_last["er"]
     report = {
         "mode": MODE,
         "n_cores_small": N_SMALL,
         "n_cores_large": N_LARGE,
-        f"t_local{N_SMALL}_sec": round(t_small, 2),
-        f"t_local{N_LARGE}_sec": round(t_large, 2),
-        f"rep_secs_local{N_SMALL}": r_small["er"].get("rep_secs"),
-        f"rep_secs_local{N_LARGE}": r_large["er"].get("rep_secs"),
-        f"pairs_per_sec_local{N_SMALL}": round(r_small["er"]["candidate_pairs_per_sec"], 1),
-        f"pairs_per_sec_local{N_LARGE}": round(r_large["er"]["candidate_pairs_per_sec"], 1),
-        "speedup": round(t_small / t_large, 3),
-        "scaling_efficiency": round(eff, 3),
+        "pairs": pair_rows,
+        "efficiency_median": med_eff,
+        "efficiency_min": min(effs),
+        "efficiency_max": max(effs),
+        "efficiency_paired_medians": round((med_small / med_large) / ratio, 3),
+        f"t_local{N_SMALL}_median_sec": round(med_small, 2),
+        f"t_local{N_LARGE}_median_sec": round(med_large, 2),
+        f"pairs_per_sec_local{N_SMALL}_median": round(er["n_candidates"] / med_small, 1),
+        f"pairs_per_sec_local{N_LARGE}_median": round(er["n_candidates"] / med_large, 1),
+        "hw_arith_eff_per_pair": [r["hw_arith_eff"] for r in pair_rows],
+        "hw_stream_eff_per_pair": [r["hw_stream_eff"] for r in pair_rows],
+        "hw_random_eff_per_pair": [r["hw_random_eff"] for r in pair_rows],
         "bench_reps_in_jvm": BENCH_REPS,
-        "hw_ceiling_arith": hw,
-        "hw_ceiling_stream": bw,
-        "hw_ceiling_random_access": ra,
+        "launches_per_leg_per_pair": REPS,
         "cpuset_pinned": os.environ.get("SPARK_GRAFT_NO_PIN") != "1",
         "shuffle_partitions": int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(4 * N_LARGE))),
-        "n_files": r_small["er"]["n_files"],
-        "n_candidates": r_small["er"]["n_candidates"],
-        "f1": r_small["er"]["f1"],
+        "self_train": os.environ.get("SPARK_GRAFT_SELF_TRAIN", "1") != "0",
+        "n_files": er["n_files"],
+        "n_candidates": er["n_candidates"],
+        "f1": er["f1"],
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(report))
@@ -330,7 +371,7 @@ def main() -> None:
         "BASELINE.md" if MODE == "executors" else f"BASELINE_{MODE}.md"
     )
     md.parent.mkdir(exist_ok=True)
-    meets = eff >= 0.8
+    meets = med_eff >= 0.8
     if MODE == "executors":
         n_exec_small = max(1, N_SMALL // CORES_PER_EXEC)
         n_exec_large = max(1, N_LARGE // CORES_PER_EXEC)
@@ -350,6 +391,16 @@ def main() -> None:
             f"(={CORES_PER_EXEC}) are per-executor constants, as on a real cluster.",
             f"Each launch runs the FULL pipeline {BENCH_REPS}× in one cluster and reports",
             "the min (steady state); the cold rep is listed alongside.",
+            "",
+            f"**Protocol: {pairs_n} interleaved fresh-launch pairs.** The shared",
+            "KVM host's parallel ceiling drifts between measurement windows",
+            "(r2 observed same-code efficiencies 0.953 / 0.674 / 0.649 while the",
+            "hardware probes themselves moved — a random-access probe once read",
+            "an impossible 1.027), so no single pair supports a pass/fail claim",
+            "around 0.8. Each pair = hw probes + both legs launched back-to-back,",
+            "leg order ALTERNATING between pairs so slow host drift hits both",
+            "legs symmetrically; the headline is the MEDIAN per-pair efficiency",
+            "with the full distribution shown below.",
         ]
     else:
         intro = [
@@ -372,15 +423,26 @@ def main() -> None:
         "",
         *intro,
         "",
-        "| parallelism | warm wall sec | rep walls (cold first) | candidate-pairs/sec |",
-        "|---|---|---|---|",
-        f"| {_leg_label(N_SMALL)}  | {report[f't_local{N_SMALL}_sec']} | {report[f'rep_secs_local{N_SMALL}']} | {report[f'pairs_per_sec_local{N_SMALL}']} |",
-        f"| {_leg_label(N_LARGE)} | {report[f't_local{N_LARGE}_sec']} | {report[f'rep_secs_local{N_LARGE}']} | {report[f'pairs_per_sec_local{N_LARGE}']} |",
+        "| pair | leg order | warm wall small (s) | warm wall large (s) | efficiency | hw arith | hw stream | hw random |",
+        "|---|---|---|---|---|---|---|---|",
+        *[
+            f"| {r['pair']} | {r['leg_order']} | {r['t_small']} {r['rep_secs_small']} | "
+            f"{r['t_large']} {r['rep_secs_large']} | **{r['efficiency']}** | "
+            f"{r['hw_arith_eff']} | {r['hw_stream_eff']} | {r['hw_random_eff']} |"
+            for r in pair_rows
+        ],
         "",
-        f"speedup (T{N_SMALL}/T{N_LARGE}) = **{report['speedup']}×** over a {int(ratio)}× "
-        + ("executor increase" if MODE == "executors" else "core increase"),
-        f"→ scaling efficiency = (T{N_SMALL}/T{N_LARGE})/{int(ratio)} = **{report['scaling_efficiency']}**"
-        + (" (meets the ≥0.8 north-rule bar)" if meets else " (below the 0.8 bar — see notes)"),
+        f"Per-pair efficiency = (T_small/T_large)/{int(ratio)} over a {int(ratio)}× "
+        + ("executor increase." if MODE == "executors" else "core increase."),
+        "",
+        f"**Median scaling efficiency = {med_eff}** "
+        + ("(meets the ≥0.8 north-rule bar)" if meets else "(below the 0.8 bar — see notes)")
+        + f"; min {report['efficiency_min']}, max {report['efficiency_max']}; "
+        + f"efficiency of per-leg medians {report['efficiency_paired_medians']} "
+        + f"(median T_small {report[f't_local{N_SMALL}_median_sec']} s / "
+        + f"median T_large {report[f't_local{N_LARGE}_median_sec']} s). "
+        + f"Median throughput: {report[f'pairs_per_sec_local{N_SMALL}_median']} pairs/s "
+        + f"(small leg) → {report[f'pairs_per_sec_local{N_LARGE}_median']} pairs/s (large leg).",
         "",
         "## Notes — methodology",
         "",
@@ -405,11 +467,16 @@ def main() -> None:
         "  in-block est-Jaccard, concurrent job groups, driver-local IRLS, batched",
         "  CC barriers).",
         f"- **The box's own ceilings** (pinned OS processes, no JVM, {N_SMALL} vs",
-        f"  {N_LARGE}; median of 3 probe runs): pure arithmetic",
-        f"  **{hw['hw_efficiency']}**, sequential memory streaming",
-        f"  **{bw['stream_efficiency']}**, but latency-bound",
+        f"  {N_LARGE}; one probe run per pair, taken immediately before the legs",
+        "  so a reader can line drift up against the pair's efficiency): pure",
+        f"  arithmetic median **{_median(report['hw_arith_eff_per_pair'])}** "
+        f"(per-pair {report['hw_arith_eff_per_pair']}), sequential memory",
+        f"  streaming median **{_median(report['hw_stream_eff_per_pair'])}** "
+        f"(per-pair {report['hw_stream_eff_per_pair']}), and latency-bound",
         f"  RANDOM access (dependent gathers over 256 MB, the access pattern of",
-        f"  hash joins and aggregation hash maps) **{ra['rand_efficiency']}** —",
+        f"  hash joins and aggregation hash maps) median "
+        f"**{_median(report['hw_random_eff_per_pair'])}** "
+        f"(per-pair {report['hw_random_eff_per_pair']}) —",
         "  co-running tasks share one L3 and one memory subsystem, so the",
         "  dominant access pattern of a shuffle-heavy pipeline scales worse on",
         "  a single box even when streaming still scales. This matches the",
