@@ -279,6 +279,8 @@ def closure_from_labeled_pairs(
     labeled_pairs: DataFrame,
     nodes: DataFrame | None = None,
     checkpoint_dir: str | None = None,
+    max_iter: int = 50,
+    checkpoint_every: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """(labels, neg_cluster_edges) from a labels relation
     (left_spec_id, right_spec_id, label ∈ {0,1}).
@@ -299,7 +301,13 @@ def closure_from_labeled_pairs(
         nodes = labeled_pairs.select(F.col("left_spec_id").alias("spec_id")).unionByName(
             labeled_pairs.select(F.col("right_spec_id").alias("spec_id"))
         ).distinct()
-    labels = connected_components(pos, nodes=nodes, checkpoint_dir=checkpoint_dir)
+    labels = connected_components(
+        pos,
+        nodes=nodes,
+        checkpoint_dir=checkpoint_dir,
+        max_iter=max_iter,
+        checkpoint_every=checkpoint_every,
+    )
 
     neg = labeled_pairs.filter(F.col("label") == 0).select(
         F.col("left_spec_id").alias("l"), F.col("right_spec_id").alias("r")

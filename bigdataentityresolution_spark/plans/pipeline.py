@@ -82,6 +82,14 @@ class ERConfig:
     # (threaded jobScheduler, src/jobscheduler.c) re-expressed on Spark's
     # thread-safe scheduler.
     overlap_jobs: bool = True
+    # Connected-components loop controls: round bound and reliable-
+    # checkpoint cadence. Each `cc_checkpoint_every` rounds the frontier
+    # is persisted (parquet when a workdir/checkpoint_dir is set) —
+    # amortize by raising the cadence when the checkpoint dir lives on
+    # slow object storage; lower it when rounds are huge and lineage
+    # re-computation on executor loss would be costlier than the write.
+    cc_max_iter: int = 50
+    cc_checkpoint_every: int = 2
     seed: int = 42
 
     def fingerprint(self, extra: str = "") -> str:
@@ -220,7 +228,11 @@ def run_er_pipeline(
             os.path.join(workdir, f"cc_closure_{fp_labels}") if workdir else None
         )
         labels, neg = C.closure_from_labeled_pairs(
-            labeled_pairs, nodes=files.select("spec_id"), checkpoint_dir=cc_dir
+            labeled_pairs,
+            nodes=files.select("spec_id"),
+            checkpoint_dir=cc_dir,
+            max_iter=config.cc_max_iter,
+            checkpoint_every=config.cc_checkpoint_every,
         )
         return labels.withColumn("_kind", F.lit("label")).unionByName(
             neg.select(
@@ -392,7 +404,11 @@ def run_er_pipeline(
             else None
         )
         return C.connected_components(
-            edges, nodes=files.select("spec_id"), checkpoint_dir=cc_dir
+            edges,
+            nodes=files.select("spec_id"),
+            checkpoint_dir=cc_dir,
+            max_iter=config.cc_max_iter,
+            checkpoint_every=config.cc_checkpoint_every,
         )
 
     plog("final_cluster: start")
