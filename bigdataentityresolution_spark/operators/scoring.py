@@ -256,6 +256,135 @@ def pair_features_from_est(
     return out.drop("est_j", "_vec_a", "_vec_b", "_prefix_a", "_prefix_b")
 
 
+def pair_feature_concat_sparse(
+    pairs: DataFrame,
+    doc_vectors: DataFrame,
+    vocab_k: int,
+    id_col: str = "spec_id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Reference-exact SPARSE pair representation: the pair's feature is
+    the concatenation of the two docs' sparse TF-IDF vectors, with the
+    second doc's term indices offset by the vocabulary size
+    (spars_concat_col, reference src/functs.c:1185-1203: col[1] of the
+    second spec's COO triples gets `+ bow->entries`; the first spec —
+    the pair's left side — keeps its indices, no reordering).
+
+    pairs: (a, b[, ...]); doc_vectors: (spec_id, features MAP<INT,FLOAT>).
+    Output: pairs' columns + `pair_features` MAP<INT,FLOAT> over the
+    doubled index space [0, 2*vocab_k). Docs missing from doc_vectors
+    contribute an empty side (the engine's prep emits empty maps for
+    vocab-disjoint docs — same convention).
+
+    The engine's production scorer deliberately does NOT use this
+    representation (3 similarity features instead, SURVEY.md §7.0); it
+    exists for parity with the reference's LR feature space and for
+    pipelines that want the raw bag-of-words pair vector.
+    """
+    empty = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<float>")
+    )
+    side = doc_vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    out = (
+        pairs.join(side.withColumnRenamed("_id", "a"), "a", "left")
+        .withColumnRenamed("_v", "_v_a")
+        .join(side.withColumnRenamed("_id", "b"), "b", "left")
+        .withColumnRenamed("_v", "_v_b")
+        .withColumn("_v_a", F.coalesce("_v_a", empty))
+        .withColumn(
+            "_v_b",
+            F.transform_keys(
+                F.coalesce("_v_b", empty), lambda k, _: k + F.lit(int(vocab_k))
+            ),
+        )
+        .withColumn("pair_features", F.map_concat("_v_a", "_v_b"))
+    )
+    return out.drop("_v_a", "_v_b")
+
+
+def pair_feature_concat_dense(
+    pairs: DataFrame,
+    doc_vectors: DataFrame,
+    vocab_k: int,
+    id_col: str = "spec_id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Reference-exact DENSE pair representation: a 2*vocab_k float array
+    where the doc with the LARGER vector element-sum occupies [0, k) and
+    the other [k, 2k) — ties keep the pair's left side first
+    (concat_specVectors, reference src/functs.c:1005-1031: the vectors
+    swap places iff sum1 < sum2 strictly).
+
+    Same caveats as :func:`pair_feature_concat_sparse`; the dense form
+    additionally materializes 2*vocab_k floats per pair, so at candidate
+    scale it belongs behind an aggressive prefilter. All arithmetic is
+    JVM-side (transform/aggregate expressions), no Python in the path.
+    """
+    empty = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<float>")
+    )
+
+    def dense(m: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(int(vocab_k) - 1)),
+            lambda i: F.coalesce(
+                F.element_at(m, i), F.lit(0.0).cast("float")
+            ),
+        )
+
+    def vec_sum(m: Column) -> Column:
+        return F.aggregate(
+            F.map_values(m),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+
+    side = doc_vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    out = (
+        pairs.join(side.withColumnRenamed("_id", "a"), "a", "left")
+        .withColumnRenamed("_v", "_v_a")
+        .join(side.withColumnRenamed("_id", "b"), "b", "left")
+        .withColumnRenamed("_v", "_v_b")
+        .withColumn("_v_a", F.coalesce("_v_a", empty))
+        .withColumn("_v_b", F.coalesce("_v_b", empty))
+        .withColumn(
+            "pair_features",
+            F.when(
+                vec_sum(F.col("_v_a")) >= vec_sum(F.col("_v_b")),
+                F.concat(dense(F.col("_v_a")), dense(F.col("_v_b"))),
+            ).otherwise(F.concat(dense(F.col("_v_b")), dense(F.col("_v_a")))),
+        )
+    )
+    return out.drop("_v_a", "_v_b")
+
+
+def prune_weak_examples(
+    scored: DataFrame, threshold: float, proba_col: str = "proba"
+) -> DataFrame:
+    """Weak-example pruning (dataI_remove_weak, src/logistic.c:1040-1065):
+    keep a pseudo-labeled example only when its probability is in the
+    CONFIDENT third of its side of the threshold —
+    proba >= 1 - (1-t)/3 (strong positive) or proba <= t/3 (strong
+    negative); the middle band is dropped. Boundary semantics match the
+    reference exactly: `proba < limit1` and `proba > limit0` are the
+    REMOVED bands, so both limits themselves survive.
+
+    The reference build constructs but never invokes this pruning (its
+    self-training path uses the fixed [0.85/0.15] confidence band —
+    filter_confidence_band here); implemented for full §2 parity and for
+    callers that want threshold-relative pseudo-label hygiene.
+    """
+    t = float(threshold)
+    limit1 = 1.0 - (1.0 - t) / 3.0
+    limit0 = t / 3.0
+    p = F.col(proba_col)
+    return scored.filter((p >= F.lit(limit1)) | (p <= F.lit(limit0)))
+
+
 def proba_expr(model: LRModel, feature_cols: tuple[str, ...] = FEATURE_COLS) -> Column:
     """sigmoid(b + w·x) as a JVM expression (calc_s, src/logistic.c:915-950)."""
     z = F.lit(float(model.bias))

@@ -113,6 +113,45 @@ def verify_content_invariant(source: DataFrame, staged: DataFrame, id_col: str =
     )
 
 
+def build_prep_for_docs(
+    files: DataFrame,
+    postings_df: DataFrame,
+    sigs: DataFrame,
+    top_vocab: DataFrame,
+    doc_ids: DataFrame,
+    n_docs: int,
+    lev_bound: int,
+) -> DataFrame:
+    """Compact per-doc pair-join state (prefix + int-keyed TF-IDF vector +
+    MinHash sig) for ONLY the docs in ``doc_ids`` (one spec_id column).
+
+    Bit-identical per doc to the full-corpus prep stage: per-doc state is
+    a pure function of (the doc's own postings rows, the SHARED top-k
+    vocabulary, n_docs, the doc's prefix and signature), so restricting
+    postings/files/sigs with broadcast semi-joins on the id set changes
+    nothing about the values — only how much work materializing them
+    costs. Used by the training path so featurizing a few thousand
+    labeled pairs never waits on (or shuffles) corpus-scale state.
+    """
+    ids = doc_ids.select("spec_id")
+    p_t = postings_df.join(
+        F.broadcast(ids.withColumnRenamed("spec_id", "doc_id")), "doc_id", "left_semi"
+    )
+    vecs = TI.doc_vectors_indexed(p_t, top_vocab, n_docs).withColumnRenamed(
+        "doc_id", "spec_id"
+    )
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<float>")
+    )
+    return (
+        files.join(F.broadcast(ids), "spec_id", "left_semi")
+        .select("spec_id", F.substring("content", 1, lev_bound).alias("prefix"))
+        .join(vecs, "spec_id", "left")
+        .withColumn("features", F.coalesce("features", empty_map))
+        .join(sigs.join(F.broadcast(ids), "spec_id", "left_semi"), "spec_id")
+    )
+
+
 def _phase_logger():
     """SPARK_GRAFT_PHASE_LOG=1 → timestamped phase lines on stderr.
     The decomposition tool behind the scaling work: wall attribution of
@@ -167,19 +206,29 @@ def run_er_pipeline(
         fp_files,
     )
 
+    # ---- stage: top-k vocabulary (tiny; shared by BOTH prep paths) ---------
+    # Materialized as its own stage because the early train-prep path
+    # (see train_features) must use the BIT-IDENTICAL vocabulary rows the
+    # full corpus prep uses — term indices come from a row_number over
+    # this relation, so sharing one cached/checkpointed DataFrame removes
+    # any tie-ordering doubt and computes the corpus-wide vocab agg once.
+    n_docs = files.count()
+    top_vocab = runner.run(
+        "top_vocab",
+        lambda: TI.top_k_vocab(TI.vocab(postings_df, n_docs), config.vocab_k),
+        fp_files,
+    )
+
     # ---- stage: prep (compact per-doc state: sig + TF-IDF map + prefix) ----
     # Everything a pair shuffle will ever carry. The raw content/token
     # arrays never ride a pair join (measured: full-payload joins spill
     # at multi-million-candidate scale and stop scaling).
     def prep():
-        n_docs = files.count()
         p = postings_df
-        v = TI.vocab(p, n_docs)
-        top = TI.top_k_vocab(v, config.vocab_k)
         # tfidf operators speak "doc_id" internally; map back to spec_id.
         # Int-keyed float vectors: this map rides every pair shuffle —
         # payload size is the scaling lever (see doc_vectors_indexed).
-        vecs = TI.doc_vectors_indexed(p, top, n_docs).withColumnRenamed(
+        vecs = TI.doc_vectors_indexed(p, top_vocab, n_docs).withColumnRenamed(
             "doc_id", "spec_id"
         )
         empty_map = F.map_from_arrays(
@@ -243,6 +292,21 @@ def run_er_pipeline(
     # ---- stage: training pairs + features ----------------------------------
     # Train on the train split's labeled pairs (reference: LR trains on
     # pairs among first-60% specs, src/main.c:296-308).
+    #
+    # The train features come from a FILTERED prep — the per-doc compact
+    # state (prefix + TF-IDF vector + sig) built ONLY for the docs the
+    # labeled pairs touch, via broadcast semi-joins on the tiny train-doc
+    # id set. Per-doc state is a pure function of (that doc's postings,
+    # the shared corpus vocabulary, the doc's prefix, the doc's sig), so
+    # the features are bit-identical to a join against the full corpus
+    # prep (tests/test_pipeline.py asserts this) — but the train+fit
+    # chain no longer waits for the corpus-wide prep to materialize: it
+    # forks right after the postings/vocab stages and the driver-local
+    # IRLS fit runs CONCURRENTLY with the heavy docs_prep job instead of
+    # serially after it (measured: the fit added ~5 s of pure critical
+    # path at 16 cores). At production scale the same property matters
+    # more: training on a few thousand labeled pairs must not gate on
+    # featurizing 10^12 docs.
     def train_features():
         lp = labeled_pairs
         if "split" not in lp.columns:
@@ -259,9 +323,17 @@ def run_er_pipeline(
             F.greatest("left_spec_id", "right_spec_id").alias("b"),
             "label",
         ).distinct()
+        train_prep = build_prep_for_docs(
+            files, postings_df, sigs, top_vocab,
+            doc_ids=tp.select(F.col("a").alias("spec_id")).unionByName(
+                tp.select(F.col("b").alias("spec_id"))
+            ).distinct(),
+            n_docs=n_docs,
+            lev_bound=config.lev_bound,
+        )
         # no prefilter: every labeled pair must be featurized
         return S.pair_features_compact(
-            tp, docs_prep, num_perm=config.num_perm,
+            tp, train_prep, num_perm=config.num_perm,
             lev_bound=config.lev_bound, sig_prefilter=None,
         ).select("a", "b", "label", *S.FEATURE_COLS)
 
@@ -318,9 +390,17 @@ def run_er_pipeline(
             sigs.count()  # the one dependency group C reads
             plog("sigs.count: done; forking candidates")
             cand_future = pool.submit(in_pool("candidates", candidates.count))
-            docs_prep.count()  # group B's heavy dependency, main thread
-            plog("docs_prep.count: done; forking train+fit")
+            # Group B's SHARED inputs (postings + top-k vocab) materialize
+            # once on the main thread, then train+fit forks IMMEDIATELY —
+            # its filtered prep reads only postings/vocab/sigs/files, so
+            # the driver-local IRLS fit overlaps the heavy corpus-wide
+            # docs_prep materialization instead of serially following it.
+            postings_df.count()
+            top_vocab.count()
+            plog("postings+vocab: done; forking train+fit")
             fit_future = pool.submit(in_pool("train", run_train_and_fit))
+            docs_prep.count()  # the final-labeling path's heavy dependency
+            plog("docs_prep.count: done")
             train_pairs, model = fit_future.result()
             plog("train+fit: joined")
             cand_future.result()

@@ -216,6 +216,134 @@ def q_confidence_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "filter_weak_pruning",
+    """
+    WITH scored AS (
+      SELECT event_id, 1.0/(1.0+exp(-(value - 50.0)/25.0)) AS proba
+      FROM events
+    )
+    SELECT event_id, round(proba, 6) AS proba
+    FROM scored
+    WHERE proba >= (1.0 - (1.0 - 0.6)/3.0) OR proba <= (0.6/3.0)
+    """,
+)
+def q_weak_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-example pruning at threshold t=0.6 (dataI_remove_weak,
+    src/logistic.c:1040-1065): keep proba >= 1-(1-t)/3 or <= t/3, the
+    strict middle bands dropped. Same deterministic sigmoid score over
+    events as filter_confidence_band."""
+    from bigdataentityresolution_spark.operators.scoring import prune_weak_examples
+
+    ev = _load(spark, sf_dir, "events")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50.0) / 25.0))
+    return prune_weak_examples(ev.withColumn("proba", p), threshold=0.6).select(
+        "event_id", F.round("proba", 6).alias("proba")
+    )
+
+
+@_register(
+    "pair_concat_sparse",
+    """
+    WITH p AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    )
+    SELECT a, b, CAST(a % 7 AS INT) AS idx, (a % 13) * 0.25 AS val FROM p
+    UNION ALL
+    SELECT a, b, CAST(a % 5 + 7 AS INT), (a % 17) * 0.5 FROM p
+    UNION ALL
+    SELECT a, b, CAST(b % 7 + 12 AS INT), (b % 13) * 0.25 FROM p
+    UNION ALL
+    SELECT a, b, CAST(b % 5 + 19 AS INT), (b % 17) * 0.5 FROM p
+    """,
+)
+def q_pair_concat_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse pair-feature concat (spars_concat_col,
+    src/functs.c:1185-1203): b-side indices offset by the vocab size
+    (12 here). Doc 'vectors' are deterministic int-keyed maps derived
+    from doc_id (quarter/half-step values — exact in float32, so no
+    rounding mismatch vs the oracle's doubles); output exploded to
+    (a, b, idx, val)."""
+    from bigdataentityresolution_spark.operators.scoring import (
+        pair_feature_concat_sparse,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    vecs = d.select(
+        F.col("doc_id").alias("spec_id"),
+        F.map_from_arrays(
+            F.array(
+                (F.col("doc_id") % 7).cast("int"),
+                (F.col("doc_id") % 5 + 7).cast("int"),
+            ),
+            F.array(
+                ((F.col("doc_id") % 13) * 0.25).cast("float"),
+                ((F.col("doc_id") % 17) * 0.5).cast("float"),
+            ),
+        ).alias("features"),
+    )
+    pairs = d.select(F.col("doc_id").alias("a")).join(
+        d.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b")), "a"
+    )
+    out = pair_feature_concat_sparse(pairs, vecs, vocab_k=12)
+    return out.select(
+        "a", "b", F.explode("pair_features").alias("idx", "val")
+    ).select("a", "b", "idx", F.col("val").cast("double").alias("val"))
+
+
+@_register(
+    "pair_concat_dense",
+    """
+    WITH p AS (
+      SELECT d1.doc_id AS a, d2.doc_id AS b,
+             (d1.doc_id % 13) * 0.25 AS sum_a, (d2.doc_id % 13) * 0.25 AS sum_b
+      FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    ), pos AS (SELECT unnest(range(0, 8)) AS pos)
+    SELECT a, b, CAST(pos AS INT) AS pos,
+      CASE
+        WHEN sum_a >= sum_b THEN
+          CASE WHEN pos < 4 AND pos = a % 4 THEN sum_a
+               WHEN pos >= 4 AND pos - 4 = b % 4 THEN sum_b
+               ELSE 0.0 END
+        ELSE
+          CASE WHEN pos < 4 AND pos = b % 4 THEN sum_b
+               WHEN pos >= 4 AND pos - 4 = a % 4 THEN sum_a
+               ELSE 0.0 END
+      END AS val
+    FROM p CROSS JOIN pos
+    """,
+)
+def q_pair_concat_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense pair-feature concat (concat_specVectors,
+    src/functs.c:1005-1031): 2k floats per pair, the larger-sum vector
+    first (ties keep the left side). Single-entry synthetic vectors
+    {doc_id%4: (doc_id%13)*0.25} make the oracle's ordering CASE exact;
+    output exploded to (a, b, pos, val)."""
+    from bigdataentityresolution_spark.operators.scoring import (
+        pair_feature_concat_dense,
+    )
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    vecs = d.select(
+        F.col("doc_id").alias("spec_id"),
+        F.map_from_arrays(
+            F.array((F.col("doc_id") % 4).cast("int")),
+            F.array(((F.col("doc_id") % 13) * 0.25).cast("float")),
+        ).alias("features"),
+    )
+    pairs = d.select(F.col("doc_id").alias("a")).join(
+        d.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b")), "a"
+    )
+    out = pair_feature_concat_dense(pairs, vecs, vocab_k=4)
+    return out.select(
+        "a", "b", F.posexplode("pair_features").alias("pos", "val")
+    ).select(
+        "a", "b", F.col("pos").cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@_register(
     "filter_claim_per_set",
     """
     SELECT DISTINCT o_custkey AS spec_id,

@@ -111,3 +111,64 @@ def test_resume_invalidates_on_config_change(spark, tiny_tables, tmp_path_factor
     cfg2 = P.ERConfig(self_train=False, newton_rounds=2, per_block_cap=32)
     r = P.run_er_pipeline(spark, files_df, pairs_df, workdir=wd, config=cfg2)
     assert r["runner"].manifests["candidates"]["resumed"] is False
+
+
+def test_filtered_train_prep_feature_parity(spark, tiny_tables):
+    """The train path featurizes against a prep restricted (by broadcast
+    semi-joins) to the docs the labeled pairs touch. Per-doc compact
+    state is a pure function of (doc postings, shared vocab, n_docs,
+    prefix, sig), so the features must be BIT-identical to a join
+    against the full corpus prep."""
+    from bigdataentityresolution_spark.functions.text import tokenize
+    from bigdataentityresolution_spark.operators import blocking as B
+    from bigdataentityresolution_spark.operators import scoring as S
+    from bigdataentityresolution_spark.operators import tfidf as TI
+
+    files_df, _, pairs_df = tiny_tables
+    cfg = P.ERConfig()
+    tok = tokenize("content")
+    sigs = B.minhash_signatures_df(
+        files_df, id_col="spec_id", text_col="content",
+        shingle_n=cfg.shingle_n, num_perm=cfg.num_perm, seed=cfg.seed,
+        tokenizer=tok,
+    ).cache()
+    postings_df = TI.postings(
+        files_df, id_col="spec_id", text_col="content", tokenizer=tok
+    ).cache()
+    n_docs = files_df.count()
+    top_vocab = TI.top_k_vocab(TI.vocab(postings_df, n_docs), cfg.vocab_k).cache()
+
+    tp = pairs_df.select(
+        F.least("left_spec_id", "right_spec_id").alias("a"),
+        F.greatest("left_spec_id", "right_spec_id").alias("b"),
+        "label",
+    ).distinct()
+    ids = (
+        tp.select(F.col("a").alias("spec_id"))
+        .unionByName(tp.select(F.col("b").alias("spec_id")))
+        .distinct()
+    )
+
+    full_prep = P.build_prep_for_docs(
+        files_df, postings_df, sigs, top_vocab,
+        doc_ids=files_df.select("spec_id"), n_docs=n_docs,
+        lev_bound=cfg.lev_bound,
+    )
+    train_prep = P.build_prep_for_docs(
+        files_df, postings_df, sigs, top_vocab,
+        doc_ids=ids, n_docs=n_docs, lev_bound=cfg.lev_bound,
+    )
+    cols = ["a", "b", "label", *S.FEATURE_COLS]
+    f_full = S.pair_features_compact(
+        tp, full_prep, num_perm=cfg.num_perm, lev_bound=cfg.lev_bound,
+        sig_prefilter=None,
+    ).select(*cols)
+    f_train = S.pair_features_compact(
+        tp, train_prep, num_perm=cfg.num_perm, lev_bound=cfg.lev_bound,
+        sig_prefilter=None,
+    ).select(*cols)
+    assert f_full.count() == f_train.count() == tp.count()
+    assert f_full.exceptAll(f_train).count() == 0
+    assert f_train.exceptAll(f_full).count() == 0
+    for df in (sigs, postings_df, top_vocab):
+        df.unpersist()

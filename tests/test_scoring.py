@@ -236,3 +236,71 @@ def test_self_training_band_and_dedup(spark):
     assert got == {("c", "d"): 1, ("e", "f"): 0}
     capped = S.self_training_pseudo_labels(scored, known, limit=1)
     assert capped.count() == 1
+
+
+def test_pair_feature_concat_sparse(spark):
+    """spars_concat_col parity (src/functs.c:1185-1203): second side's
+    indices offset by vocab size; missing docs contribute empty sides."""
+    from bigdataentityresolution_spark.operators.scoring import (
+        pair_feature_concat_sparse,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, {0: 1.0, 2: 0.5}), (2, {1: 2.0}), (3, {})],
+        "spec_id long, features map<int,float>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "a long, b long"
+    )
+    out = {
+        (r["a"], r["b"]): r["pair_features"]
+        for r in pair_feature_concat_sparse(pairs, vecs, vocab_k=4).collect()
+    }
+    assert out[(1, 2)] == {0: 1.0, 2: 0.5, 5: 2.0}  # b's key 1 -> 1+4
+    assert out[(1, 3)] == {0: 1.0, 2: 0.5}          # empty b side
+    assert out[(2, 4)] == {1: 2.0}                  # doc 4 missing -> empty
+
+
+def test_pair_feature_concat_dense_ordering(spark):
+    """concat_specVectors parity (src/functs.c:1005-1031): larger-sum
+    vector first; ties keep the left side first."""
+    from bigdataentityresolution_spark.operators.scoring import (
+        pair_feature_concat_dense,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, {0: 1.0}), (2, {1: 5.0}), (3, {2: 1.0})],
+        "spec_id long, features map<int,float>",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {
+        (r["a"], r["b"]): r["pair_features"]
+        for r in pair_feature_concat_dense(pairs, vecs, vocab_k=3).collect()
+    }
+    # sum(b=5.0) > sum(a=1.0): b occupies [0,3)
+    assert out[(1, 2)] == [0.0, 5.0, 0.0, 1.0, 0.0, 0.0]
+    # tie (1.0 == 1.0): a stays first
+    assert out[(1, 3)] == [1.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+
+
+def test_prune_weak_examples_boundaries(spark):
+    """dataI_remove_weak parity (src/logistic.c:1040-1065): with t=0.6,
+    limit1=(2+t)/3=0.8666..., limit0=t/3=0.2 — strict-inequality removal
+    bands, both limits survive."""
+    from bigdataentityresolution_spark.operators.scoring import prune_weak_examples
+
+    t = 0.6
+    limit1 = 1.0 - (1.0 - t) / 3.0
+    limit0 = t / 3.0
+    rows = [
+        (1, limit1),          # == limit1: kept
+        (2, limit1 - 1e-6),   # weak positive: removed
+        (3, t),               # at threshold but weak: removed
+        (4, 0.99),            # strong positive: kept
+        (5, limit0),          # == limit0: kept
+        (6, limit0 + 1e-6),   # weak negative: removed
+        (7, 0.01),            # strong negative: kept
+    ]
+    df = spark.createDataFrame(rows, "id long, proba double")
+    kept = {r["id"] for r in prune_weak_examples(df, t).collect()}
+    assert kept == {1, 4, 5, 7}
