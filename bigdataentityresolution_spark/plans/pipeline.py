@@ -115,27 +115,39 @@ def verify_content_invariant(source: DataFrame, staged: DataFrame, id_col: str =
 
 def build_prep_for_docs(
     files: DataFrame,
-    postings_df: DataFrame,
     sigs: DataFrame,
     top_vocab: DataFrame,
     doc_ids: DataFrame,
     n_docs: int,
     lev_bound: int,
+    tokenizer=None,
 ) -> DataFrame:
     """Compact per-doc pair-join state (prefix + int-keyed TF-IDF vector +
     MinHash sig) for ONLY the docs in ``doc_ids`` (one spec_id column).
 
     Bit-identical per doc to the full-corpus prep stage: per-doc state is
-    a pure function of (the doc's own postings rows, the SHARED top-k
-    vocabulary, n_docs, the doc's prefix and signature), so restricting
-    postings/files/sigs with broadcast semi-joins on the id set changes
-    nothing about the values — only how much work materializing them
-    costs. Used by the training path so featurizing a few thousand
-    labeled pairs never waits on (or shuffles) corpus-scale state.
+    a pure function of (the doc's own tokens, the SHARED top-k
+    vocabulary, n_docs, the doc's prefix and signature) — re-tokenizing
+    the selected docs produces exactly the postings rows a filter of the
+    corpus-wide postings would, so restricting files/sigs with broadcast
+    semi-joins on the id set changes nothing about the values — only how
+    much work materializing them costs. Used by the training path so
+    featurizing a few thousand labeled pairs never waits on (or
+    shuffles) corpus-scale state.
     """
     ids = doc_ids.select("spec_id")
-    p_t = postings_df.join(
-        F.broadcast(ids.withColumnRenamed("spec_id", "doc_id")), "doc_id", "left_semi"
+    # Re-tokenize ONLY the selected docs instead of semi-joining the
+    # corpus-wide postings relation: postings is |corpus-tokens| rows, so
+    # even a broadcast semi-join over it costs full passes (measured: the
+    # concurrent train chain spent ~2 postings-cache scans here and
+    # became the pipeline tail at 8 cores). A broadcast semi-join on the
+    # files table + an explode of the few thousand selected docs is a
+    # fraction of one postings pass — and on a real table the semi-join
+    # pushes into the scan (DPP/bloom), which a pass over a materialized
+    # corpus-wide postings cache never can.
+    files_t = files.join(F.broadcast(ids), "spec_id", "left_semi")
+    p_t = TI.postings(
+        files_t, id_col="spec_id", text_col="content", tokenizer=tokenizer
     )
     vecs = TI.doc_vectors_indexed(p_t, top_vocab, n_docs).withColumnRenamed(
         "doc_id", "spec_id"
@@ -324,12 +336,13 @@ def run_er_pipeline(
             "label",
         ).distinct()
         train_prep = build_prep_for_docs(
-            files, postings_df, sigs, top_vocab,
+            files, sigs, top_vocab,
             doc_ids=tp.select(F.col("a").alias("spec_id")).unionByName(
                 tp.select(F.col("b").alias("spec_id"))
             ).distinct(),
             n_docs=n_docs,
             lev_bound=config.lev_bound,
+            tokenizer=tok,
         )
         # no prefilter: every labeled pair must be featurized
         return S.pair_features_compact(
@@ -381,10 +394,22 @@ def run_er_pipeline(
 
         return wrapped
 
+    # ---- stage: candidate features (declared here so the overlap block
+    # can materialize it concurrently with the train+fit join — the
+    # features don't read the model; only the cheap predict projection
+    # does, so the two tails overlap instead of stacking) ----------------
+    def cand_features():
+        return S.pair_features_from_est(
+            candidates, docs_prep,
+            lev_bound=config.lev_bound, sig_prefilter=config.sig_prefilter,
+        ).select("a", "b", *S.FEATURE_COLS, "f_vocab_cov")
+
+    cand_feats = runner.run("cand_features", cand_features, fp_files).cache()
+
     if config.overlap_jobs:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             closure_future = pool.submit(in_pool("closure", run_closure))
             plog("sigs.count: start")
             sigs.count()  # the one dependency group C reads
@@ -392,8 +417,9 @@ def run_er_pipeline(
             cand_future = pool.submit(in_pool("candidates", candidates.count))
             # Group B's SHARED inputs (postings + top-k vocab) materialize
             # once on the main thread, then train+fit forks IMMEDIATELY —
-            # its filtered prep reads only postings/vocab/sigs/files, so
-            # the driver-local IRLS fit overlaps the heavy corpus-wide
+            # its filtered prep reads only vocab/sigs/files (it
+            # re-tokenizes the few thousand train docs), so the
+            # driver-local IRLS fit overlaps the heavy corpus-wide
             # docs_prep materialization instead of serially following it.
             postings_df.count()
             top_vocab.count()
@@ -401,10 +427,15 @@ def run_er_pipeline(
             fit_future = pool.submit(in_pool("train", run_train_and_fit))
             docs_prep.count()  # the final-labeling path's heavy dependency
             plog("docs_prep.count: done")
+            cand_future.result()  # candidates cache materialized (no
+            plog("candidates.count: joined")  # first-touch race below)
+            candfeat_future = pool.submit(
+                in_pool("candfeat", cand_feats.count)
+            )
             train_pairs, model = fit_future.result()
             plog("train+fit: joined")
-            cand_future.result()
-            plog("candidates.count: joined")
+            candfeat_future.result()
+            plog("cand_features: materialized")
             closure_raw = closure_future.result()
             plog("closure: joined")
     else:
@@ -417,17 +448,9 @@ def run_er_pipeline(
         F.col("spec_id").alias("cid_a"), F.col("cluster_id").alias("cid_b")
     )
 
-    # ---- stage: candidate features + scores --------------------------------
-    def cand_features():
-        return S.pair_features_from_est(
-            candidates, docs_prep,
-            lev_bound=config.lev_bound, sig_prefilter=config.sig_prefilter,
-        ).select("a", "b", *S.FEATURE_COLS, "f_vocab_cov")
-
-    plog("cand_features: DAG build start")
-    cand_feats = runner.run("cand_features", cand_features, fp_files).cache()
+    # ---- stage: scores (cand_feats materialized in the overlap block) ------
     scored = S.predict(cand_feats, model)
-    plog("cand_features+predict: DAG built")
+    plog("predict: DAG built")
 
     # ---- stage: one self-training round (count_retrain < 1, src/functs.c:1717)
     if config.self_train:

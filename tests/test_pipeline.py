@@ -150,13 +150,13 @@ def test_filtered_train_prep_feature_parity(spark, tiny_tables):
     )
 
     full_prep = P.build_prep_for_docs(
-        files_df, postings_df, sigs, top_vocab,
+        files_df, sigs, top_vocab,
         doc_ids=files_df.select("spec_id"), n_docs=n_docs,
-        lev_bound=cfg.lev_bound,
+        lev_bound=cfg.lev_bound, tokenizer=tok,
     )
     train_prep = P.build_prep_for_docs(
-        files_df, postings_df, sigs, top_vocab,
-        doc_ids=ids, n_docs=n_docs, lev_bound=cfg.lev_bound,
+        files_df, sigs, top_vocab,
+        doc_ids=ids, n_docs=n_docs, lev_bound=cfg.lev_bound, tokenizer=tok,
     )
     cols = ["a", "b", "label", *S.FEATURE_COLS]
     f_full = S.pair_features_compact(
