@@ -455,15 +455,18 @@ def run_er_pipeline(
     # ---- stage: one self-training round (count_retrain < 1, src/functs.c:1717)
     if config.self_train:
         train_size = train_pairs.count()
+        plog("self_train: train_size counted")
         pseudo = S.self_training_pseudo_labels(
             scored,
             known_pairs=train_pairs.select("a", "b"),
             limit=config.self_train_limit_factor * max(train_size, 1),
         ).select("a", "b", "label", *S.FEATURE_COLS)
+        plog("self_train: pseudo DAG built")
         refit_input = train_pairs.select("a", "b", "label", *S.FEATURE_COLS).unionByName(
             pseudo
         )
         model = S.fit_lr_newton(refit_input, max_rounds=config.newton_rounds)
+        plog("self_train: refit done")
         scored = S.predict(cand_feats, model)
 
     # ---- stage: final clustering -------------------------------------------
