@@ -659,6 +659,57 @@ def fit_lr_newton(
     return model
 
 
+def calibrate_edge_threshold(
+    labeled_pairs: DataFrame,
+    model: LRModel,
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+    label_col: str = "label",
+    driver_max: int = 2_000_000,
+) -> float:
+    """F1-maximizing decision threshold on the labeled pairs.
+
+    Why this exists: the reference's moving threshold
+    (logistic_overfit_dataList, src/logistic.c:693-734 — kept verbatim in
+    update_threshold for §2.9 parity) monotonically climbs to its 0.8
+    clamp whenever cumulative fit1 > fit0. That is harmless for the
+    reference's 2000-dim LR, whose probabilities saturate at 0/1 — but a
+    compact similarity-feature model on a genuinely hard corpus is not
+    that confident (measured on the HARD tier: max candidate proba 0.795
+    < the 0.8 clamp → ZERO predicted edges, recall collapsed to the
+    labeled closure). Calibrating on labeled data is the standard fix:
+    sweep every distinct proba midpoint, pick the F1-argmax, tie-break
+    toward the HIGHER threshold (precision-first, same reasoning as the
+    edge floors).
+
+    Driver-local by design: labeled pairs are the small relation of the
+    problem (same size gate as the IRLS driver path). Falls back to
+    model.threshold when the labels are single-class.
+    """
+    pdf = (
+        predict(labeled_pairs, model, feature_cols)
+        .select(F.col("proba"), F.col(label_col).cast("double").alias("label"))
+        .limit(driver_max)
+        .toPandas()
+    )
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    p = pdf["proba"].to_numpy(dtype=np.float64)
+    n_pos = float((y == 1.0).sum())
+    if n_pos == 0 or n_pos == len(y):
+        return model.threshold
+    order = np.argsort(-p)
+    p_sorted, y_sorted = p[order], y[order]
+    tp = np.cumsum(y_sorted)
+    k = np.arange(1, len(y) + 1)
+    f1 = 2 * tp / (k + n_pos)  # 2tp / (tp+fp + tp+fn)
+    # candidate thresholds: midpoints ABOVE each cut position (accept the
+    # top-k probas); collapse ties so a threshold never splits equal probas
+    valid = np.r_[p_sorted[:-1] != p_sorted[1:], True]
+    best = int(np.flatnonzero(valid)[np.argmax(f1[valid])])
+    hi = p_sorted[best]
+    lo = p_sorted[best + 1] if best + 1 < len(p_sorted) else max(hi - 1e-6, 0.0)
+    return float(min((hi + lo) / 2.0, hi - 1e-12))
+
+
 def accuracy(scored: DataFrame, label_col: str = "label") -> float:
     """corrects / total (logistic_score, src/logistic.c:601-615) — the
     global definition, not the reference's per-batch mean-of-means quirk

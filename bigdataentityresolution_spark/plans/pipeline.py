@@ -52,13 +52,34 @@ class ERConfig:
     num_perm: int = 32
     bands: int = 16
     per_block_cap: int = 64
-    vocab_k: int = 1000
+    # Vocabulary size for the pair-join TF-IDF vectors. "auto" (default)
+    # scales with the corpus: min(max(1000, n_docs), 1_000_000). The
+    # reference's fixed MOST_SIGN=1000 (src/boWords.c) is correct for its
+    # ~30k-record camera-spec corpus whose natural vocabulary is small,
+    # but significance (tfidf_sum_mean) GROWS with document frequency, so
+    # over a large code corpus a fixed top-1000 keeps only corpus-common
+    # tokens and drops every rare discriminative identifier — measured on
+    # the HARD tier (40k files): cross-template non-clone cosine 0.6-0.78,
+    # precision 0.005. The 1M cap bounds the vocab-index broadcast
+    # (~24 MB); past it, move to feature hashing, not a bigger k.
+    vocab_k: int | str = "auto"
+    # Drop terms appearing in > this fraction of docs from the ER vocab
+    # (boilerplate carries no pairwise discrimination; see tfidf.er_vocab).
+    # None disables; the prune auto-falls-back on tiny/common-vocab corpora.
+    max_df_ratio: float | None = 0.35
     lev_bound: int = 128
     sig_prefilter: float = 0.2  # drop candidates with est-Jaccard below this
     newton_rounds: int = 5  # IRLS is quadratic — 5 rounds reach |step| < 1e-4
     self_train: bool = True
     self_train_limit_factor: int = 12  # pairs_limit = train_size × 12 (src/functs.c:23)
-    edge_threshold: float | None = None  # None → model.threshold
+    # Edge decision threshold: "auto" (default) calibrates the
+    # F1-maximizing threshold on the labeled train pairs
+    # (scoring.calibrate_edge_threshold — the reference's moving
+    # threshold climbs to its 0.8 clamp whenever positives outnumber
+    # negatives, which zeroes discovery on corpora where the compact
+    # model's probabilities don't saturate); a float pins it; None uses
+    # model.threshold (reference semantics, pre-r4 default).
+    edge_threshold: float | str | None = "auto"
     # Precision-first link policy: a PREDICTED edge must clear BOTH an
     # exact TF-IDF cosine floor and a MinHash est-Jaccard floor, not just
     # the model threshold. Rationale: one false edge chains two clusters
@@ -74,6 +95,25 @@ class ERConfig:
     # together leave 0.
     edge_cosine_floor: float | None = 0.5
     edge_jaccard_floor: float | None = 0.45
+    # High-confidence override: an edge whose model probability clears
+    # this bar is accepted under RELAXED floors (the *_override_* minima
+    # below) instead of the full floors. Motivated by the HARD corpus
+    # tier (synthetic.generate_hard_corpus): adversarial low-overlap true
+    # clones sit at est-Jaccard 0.3-0.45 — under the full floors alone
+    # they are unreachable (recall 0.49 measured), while the trained
+    # model separates them from template-similar negatives almost
+    # perfectly. The override is NEVER floor-free: a model can be trained
+    # on labeled pairs whose negatives are all of one shape, and such a
+    # model can emit proba ≈ 1.0 for arbitrarily dissimilar pairs
+    # (measured r4: an LR fit where every labeled negative was a
+    # template pair learned NEGATIVE weights on all three similarity
+    # features — "dissimilar ⇒ confident match" — and a floor-free
+    # override then merged 4.3k unrelated files into one cluster).
+    # The relaxed minima are a structural sanity bar the model cannot
+    # override: no edge below them is accepted no matter the score.
+    edge_high_conf_override: float | None = 0.98
+    edge_override_jaccard_min: float = 0.3
+    edge_override_cosine_min: float = 0.35
     # Submit independent stage groups as CONCURRENT Spark jobs (label
     # closure ∥ corpus prep; training ∥ candidate generation). The DAG's
     # serial stage chain cannot feed a wide cluster by itself — measured
@@ -90,6 +130,10 @@ class ERConfig:
     # re-computation on executor loss would be costlier than the write.
     cc_max_iter: int = 50
     cc_checkpoint_every: int = 2
+    # TF weighting for the pair-join TF-IDF vectors: "log" (sublinear
+    # damping — the boilerplate defense, see tfidf.doc_vectors_indexed)
+    # or "raw" (reference-exact tf/n_tokens).
+    tf_mode: str = "log"
     seed: int = 42
 
     def fingerprint(self, extra: str = "") -> str:
@@ -121,6 +165,7 @@ def build_prep_for_docs(
     n_docs: int,
     lev_bound: int,
     tokenizer=None,
+    tf_mode: str = "log",
 ) -> DataFrame:
     """Compact per-doc pair-join state (prefix + int-keyed TF-IDF vector +
     MinHash sig) for ONLY the docs in ``doc_ids`` (one spec_id column).
@@ -149,7 +194,7 @@ def build_prep_for_docs(
     p_t = TI.postings(
         files_t, id_col="spec_id", text_col="content", tokenizer=tokenizer
     )
-    vecs = TI.doc_vectors_indexed(p_t, top_vocab, n_docs).withColumnRenamed(
+    vecs = TI.doc_vectors_indexed(p_t, top_vocab, n_docs, tf_mode=tf_mode).withColumnRenamed(
         "doc_id", "spec_id"
     )
     empty_map = F.map_from_arrays(
@@ -225,9 +270,19 @@ def run_er_pipeline(
     # this relation, so sharing one cached/checkpointed DataFrame removes
     # any tie-ordering doubt and computes the corpus-wide vocab agg once.
     n_docs = files.count()
+    vocab_k = (
+        min(max(1000, n_docs), 1_000_000)
+        if config.vocab_k == "auto"
+        else int(config.vocab_k)
+    )
     top_vocab = runner.run(
         "top_vocab",
-        lambda: TI.top_k_vocab(TI.vocab(postings_df, n_docs), config.vocab_k),
+        lambda: TI.er_vocab(
+            TI.vocab(postings_df, n_docs),
+            n_docs,
+            vocab_k,
+            max_df_ratio=config.max_df_ratio,
+        ),
         fp_files,
     )
 
@@ -240,9 +295,9 @@ def run_er_pipeline(
         # tfidf operators speak "doc_id" internally; map back to spec_id.
         # Int-keyed float vectors: this map rides every pair shuffle —
         # payload size is the scaling lever (see doc_vectors_indexed).
-        vecs = TI.doc_vectors_indexed(p, top_vocab, n_docs).withColumnRenamed(
-            "doc_id", "spec_id"
-        )
+        vecs = TI.doc_vectors_indexed(
+            p, top_vocab, n_docs, tf_mode=config.tf_mode
+        ).withColumnRenamed("doc_id", "spec_id")
         empty_map = F.map_from_arrays(
             F.array().cast("array<int>"), F.array().cast("array<float>")
         )
@@ -343,6 +398,7 @@ def run_er_pipeline(
             n_docs=n_docs,
             lev_bound=config.lev_bound,
             tokenizer=tok,
+            tf_mode=config.tf_mode,
         )
         # no prefilter: every labeled pair must be featurized
         return S.pair_features_compact(
@@ -474,7 +530,17 @@ def run_er_pipeline(
     # covers 100% of labels) ∪ predicted matches, minus pairs explicitly
     # labeled 0 (we never add a predicted edge a human label contradicts;
     # the reference adds no predicted edges at all).
-    thr = config.edge_threshold if config.edge_threshold is not None else model.threshold
+    if config.edge_threshold == "auto":
+        # calibrated on the TRUE labeled pairs (never on pseudo-labels),
+        # after the self-train refit if one ran
+        thr = S.calibrate_edge_threshold(
+            train_pairs.select("label", *S.FEATURE_COLS), model
+        )
+        plog(f"edge threshold calibrated: {thr:.4f} (model.threshold {model.threshold:.4f})")
+    elif config.edge_threshold is not None:
+        thr = float(config.edge_threshold)
+    else:
+        thr = model.threshold
 
     def final_cluster():
         pos_label_edges = labeled_pairs.filter(F.col("label") == 1).select(
@@ -486,20 +552,38 @@ def run_er_pipeline(
             F.greatest("left_spec_id", "right_spec_id").alias("b"),
         )
         accepted = scored.filter(F.col("proba") >= F.lit(float(thr)))
+        floor_ok = F.lit(True)
         if config.edge_cosine_floor is not None:
             # The floor's precondition is a meaningful TF-IDF map on both
             # sides: a pair where either doc has an EMPTY vocab projection
             # has f_cosine identically 0 and is exempted (it still must
             # clear the model threshold + est-Jaccard floor) — otherwise
             # vocab-diverse corpora lose recall silently (ADVICE.md r1).
-            accepted = accepted.filter(
+            floor_ok = floor_ok & (
                 (F.col("f_cosine") >= F.lit(float(config.edge_cosine_floor)))
                 | (F.col("f_vocab_cov") == 0)
             )
         if config.edge_jaccard_floor is not None:
-            accepted = accepted.filter(
+            floor_ok = floor_ok & (
                 F.col("f_jaccard") >= F.lit(float(config.edge_jaccard_floor))
             )
+        if config.edge_high_conf_override is not None:
+            relaxed_ok = (
+                (F.col("f_jaccard") >= F.lit(float(config.edge_override_jaccard_min)))
+                & (
+                    (F.col("f_cosine") >= F.lit(float(config.edge_override_cosine_min)))
+                    | (F.col("f_vocab_cov") == 0)
+                )
+            )
+            accepted = accepted.filter(
+                floor_ok
+                | (
+                    relaxed_ok
+                    & (F.col("proba") >= F.lit(float(config.edge_high_conf_override)))
+                )
+            )
+        else:
+            accepted = accepted.filter(floor_ok)
         pred_edges = accepted.select("a", "b").join(
             neg_label_pairs, ["a", "b"], "left_anti"
         )
@@ -538,6 +622,42 @@ def run_er_pipeline(
         "matches": matches,
         "runner": runner,
     }
+
+
+def labeled_pair_f1(predicted_labels: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """Pairwise F1 restricted to the LABELED pairs — the north rule's
+    actual criterion ("pairwise F1≥0.99 on labeled pairs drawn at the
+    same blocking key").
+
+    predicted same-cluster vs the pair's label. Positive labels are
+    must-link edges in the pipeline, so recall here is structural; the
+    metric's teeth are on the NEGATIVE side: an explicitly-negative pair
+    may never be merged directly (the pipeline anti-joins them out of
+    predicted edges), but transitive closure can still chain its two
+    sides through falsely-accepted UNLABELED edges — exactly what the
+    hard corpus tier's template groups try to force.
+    """
+    lp = labeled_pairs.select(
+        F.least("left_spec_id", "right_spec_id").alias("a"),
+        F.greatest("left_spec_id", "right_spec_id").alias("b"),
+        "label",
+    ).distinct()
+    la = predicted_labels.select(F.col("spec_id").alias("a"), F.col("cluster_id").alias("_ca"))
+    lb = predicted_labels.select(F.col("spec_id").alias("b"), F.col("cluster_id").alias("_cb"))
+    joined = lp.join(la, "a").join(lb, "b").withColumn(
+        "pred", (F.col("_ca") == F.col("_cb")).cast("int")
+    )
+    cm = {
+        (r["label"], r["pred"]): r["n"]
+        for r in joined.groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tp = cm.get((1, 1), 0)
+    fp = cm.get((0, 1), 0)
+    fn = cm.get((1, 0), 0)
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": precision, "recall": recall, "f1": f1}
 
 
 def pairwise_f1(predicted_labels: DataFrame, truth_labels: DataFrame) -> dict:

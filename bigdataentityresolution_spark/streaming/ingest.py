@@ -31,9 +31,18 @@ def stream_events_windowed(
     path: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """readStream(parquet) → watermark → tumbling-window count/sum."""
-    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    """readStream(parquet) → watermark → tumbling-window count/sum.
+
+    max_files_per_trigger forces one source file per micro-batch — the
+    lever the late-data tests use to drive multiple watermark advances
+    from static files (the default reads everything in one batch, so the
+    watermark never moves mid-stream)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(path)
     # group on the window STRUCT itself — append mode requires the
     # watermark-linked window column in the grouping; project .start after
     return (

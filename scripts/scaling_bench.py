@@ -336,21 +336,55 @@ def main() -> None:
     legs symmetrically; report the per-pair efficiency DISTRIBUTION
     (median + min/max) alongside the per-pair probe readings."""
     pairs_n = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "5"))
+    # Opportunistic quiet-window mode (VERDICT r3 'Next' #4): the shared
+    # host delivers 8 uncontended vCPUs only intermittently, and only
+    # pairs measured in such windows speak to the engine's true scaling.
+    # SPARK_GRAFT_QUIET_MIN=<x> gates each pair on the hw probes: if the
+    # min probe efficiency reads below x, sleep and re-probe (up to
+    # SPARK_GRAFT_QUIET_MAX_WAIT_MIN minutes, then run anyway so the
+    # session still makes progress). Probes are ALSO re-run after the
+    # legs; a pair is tagged quiet_window only when pre AND post read
+    # ≥ x — drift between probe and leg is exactly what burned r2/r3.
+    # SPARK_GRAFT_UNTIL_QUIET_K=<k> stops the session early once k
+    # quiet-window pairs are banked.
+    quiet_min = float(os.environ.get("SPARK_GRAFT_QUIET_MIN", "0"))
+    quiet_k = int(os.environ.get("SPARK_GRAFT_UNTIL_QUIET_K", "0"))
+    quiet_max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_MAX_WAIT_MIN", "45"))
+    quiet_retry_sec = float(os.environ.get("SPARK_GRAFT_QUIET_RETRY_SEC", "90"))
     ratio = N_LARGE / N_SMALL
     _sweep_stale_shuffle_dirs()
     pair_rows = []
     r_small_last = None
-    for i in range(pairs_n):
+
+    def probe_triplet() -> tuple[dict, dict, dict, float]:
         hw = cpu_ceiling_probe(N_SMALL, N_LARGE)
         bw = mem_bw_probe(N_SMALL, N_LARGE)
         ra = random_access_probe(N_SMALL, N_LARGE)
+        worst = min(hw["hw_efficiency"], bw["stream_efficiency"], ra["rand_efficiency"])
+        return hw, bw, ra, worst
+
+    n_quiet = 0
+    for i in range(pairs_n):
+        hw, bw, ra, worst = probe_triplet()
+        if quiet_min > 0:
+            deadline = time.time() + quiet_max_wait * 60
+            while worst < quiet_min and time.time() < deadline:
+                print(
+                    json.dumps({"pair": i, "waiting_for_quiet": worst, "need": quiet_min}),
+                    flush=True,
+                )
+                time.sleep(quiet_retry_sec)
+                hw, bw, ra, worst = probe_triplet()
         legs = [N_SMALL, N_LARGE] if i % 2 == 0 else [N_LARGE, N_SMALL]
         results = {}
         for cpus in legs:
             results[cpus] = run(cpus)
+        hw2, bw2, ra2, worst_post = probe_triplet()
         r_small_last = results[N_SMALL]
         t_small = results[N_SMALL]["er"]["sec"]
         t_large = results[N_LARGE]["er"]["sec"]
+        quiet = quiet_min > 0 and worst >= quiet_min and worst_post >= quiet_min
+        n_quiet += int(quiet)
         row = {
             "pair": i,
             "leg_order": "small-first" if i % 2 == 0 else "large-first",
@@ -362,9 +396,16 @@ def main() -> None:
             "hw_arith_eff": hw["hw_efficiency"],
             "hw_stream_eff": bw["stream_efficiency"],
             "hw_random_eff": ra["rand_efficiency"],
+            "hw_arith_eff_post": hw2["hw_efficiency"],
+            "hw_stream_eff_post": bw2["stream_efficiency"],
+            "hw_random_eff_post": ra2["rand_efficiency"],
+            "quiet_window": quiet,
         }
         pair_rows.append(row)
         print(json.dumps(row), flush=True)
+        if quiet_k and n_quiet >= quiet_k:
+            print(json.dumps({"stopped_early": True, "quiet_pairs": n_quiet}), flush=True)
+            break
 
     effs = [r["efficiency"] for r in pair_rows]
     med_eff = round(_median(effs), 3)
@@ -407,6 +448,11 @@ def main() -> None:
     # is a JVM property, not an engine property — and exactly why real
     # clusters run several small executors per node (measured here:
     # executors 0.953 vs fat-JVM cores 0.612 on the identical job+plan).
+    if os.environ.get("SPARK_GRAFT_NO_MD") == "1":
+        # session-log-only mode: BENCH/BASELINE.md is hand-merged across
+        # sessions (scaling_summary.py over the concatenated logs) — a
+        # single session must not clobber the merged multi-session report
+        return
     md = REPO / "BENCH" / (
         "BASELINE.md" if MODE == "executors" else f"BASELINE_{MODE}.md"
     )

@@ -2,13 +2,17 @@
 """Summarize a scaling_bench.py log: per-pair efficiency distribution plus
 the session-min estimator.
 
-Why session-min: on a shared KVM host, contention is ONE-SIDED noise — it
-only ever ADDS wall time, never subtracts it (the job's work is fixed; a
-leg can't run faster than the uncontended engine). So min(t_leg) over all
-fresh launches in the session is the tightest observed upper bound on the
-uncontended time of that leg, and min_small/min_large is the efficiency
-estimate least polluted by host drift. The per-pair median remains the
-conservative headline; both are reported.
+Session-min: on a shared KVM host, contention is ONE-SIDED noise — it
+only ever ADDS wall time (the job's work is fixed), so min(t_leg) over
+all fresh launches is the tightest observed upper bound on that ONE
+leg's uncontended wall. The RATIO min_small/min_large, however, divides
+two mins usually taken in DIFFERENT time windows, so it is neither an
+upper nor a lower bound on the true efficiency — it can overstate it
+when the large leg happened to catch the session's one quiet window
+(ADVICE r3). Treat it as a heuristic point estimate (a ratio of two
+per-leg bounds); the per-pair MEDIAN is the headline, and per-pair
+quiet-window readings (probes quiet before AND after the legs) are the
+direct evidence.
 
 Usage: python scripts/scaling_summary.py /tmp/scaling_r3.log
 """
@@ -50,10 +54,16 @@ def main(path: str) -> dict:
     med = effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2
     min_small = min(legs[n_small])
     min_large = min(legs[n_large])
+    quiet = sorted(
+        p["efficiency"] for p in pairs if p.get("quiet_window")
+    )
     out = {
         "pairs_n": n,
         "efficiency_per_pair": effs,
         "efficiency_median": round(med, 3),
+        # pairs whose hw probes read quiet BOTH before and after the legs
+        # (only recorded by r4+ sessions run with SPARK_GRAFT_QUIET_MIN)
+        "quiet_window_pairs": quiet,
         f"t{n_small}_all": sorted(legs[n_small]),
         f"t{n_large}_all": sorted(legs[n_large]),
         f"t{n_small}_min": min_small,

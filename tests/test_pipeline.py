@@ -118,7 +118,12 @@ def test_filtered_train_prep_feature_parity(spark, tiny_tables):
     semi-joins) to the docs the labeled pairs touch. Per-doc compact
     state is a pure function of (doc postings, shared vocab, n_docs,
     prefix, sig), so the features must be BIT-identical to a join
-    against the full corpus prep."""
+    against the full corpus prep — where "full corpus prep" is built the
+    EXACT way run_er_pipeline's prep stage builds it (corpus-wide
+    postings → doc_vectors_indexed → join sigs), NOT via
+    build_prep_for_docs over all ids: comparing the re-tokenize path
+    against itself would let a divergence between the two construction
+    paths slip through (ADVICE r3 #3)."""
     from bigdataentityresolution_spark.functions.text import tokenize
     from bigdataentityresolution_spark.operators import blocking as B
     from bigdataentityresolution_spark.operators import scoring as S
@@ -136,7 +141,10 @@ def test_filtered_train_prep_feature_parity(spark, tiny_tables):
         files_df, id_col="spec_id", text_col="content", tokenizer=tok
     ).cache()
     n_docs = files_df.count()
-    top_vocab = TI.top_k_vocab(TI.vocab(postings_df, n_docs), cfg.vocab_k).cache()
+    vocab_k = min(max(1000, n_docs), 1_000_000) if cfg.vocab_k == "auto" else int(cfg.vocab_k)
+    top_vocab = TI.er_vocab(
+        TI.vocab(postings_df, n_docs), n_docs, vocab_k, max_df_ratio=cfg.max_df_ratio
+    ).cache()
 
     tp = pairs_df.select(
         F.least("left_spec_id", "right_spec_id").alias("a"),
@@ -149,14 +157,27 @@ def test_filtered_train_prep_feature_parity(spark, tiny_tables):
         .distinct()
     )
 
-    full_prep = P.build_prep_for_docs(
-        files_df, sigs, top_vocab,
-        doc_ids=files_df.select("spec_id"), n_docs=n_docs,
-        lev_bound=cfg.lev_bound, tokenizer=tok,
+    # mirror of run_er_pipeline's prep stage (plans/pipeline.py prep()):
+    # doc vectors from the CORPUS-WIDE postings relation, left-join onto
+    # the prefix projection, empty-map fill, join sigs
+    vecs = TI.doc_vectors_indexed(
+        postings_df, top_vocab, n_docs, tf_mode=cfg.tf_mode
+    ).withColumnRenamed("doc_id", "spec_id")
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<float>")
+    )
+    full_prep = (
+        files_df.select(
+            "spec_id", F.substring("content", 1, cfg.lev_bound).alias("prefix")
+        )
+        .join(vecs.hint("shuffle_hash"), "spec_id", "left")
+        .withColumn("features", F.coalesce("features", empty_map))
+        .join(sigs.hint("shuffle_hash"), "spec_id")
     )
     train_prep = P.build_prep_for_docs(
         files_df, sigs, top_vocab,
         doc_ids=ids, n_docs=n_docs, lev_bound=cfg.lev_bound, tokenizer=tok,
+        tf_mode=cfg.tf_mode,
     )
     cols = ["a", "b", "label", *S.FEATURE_COLS]
     f_full = S.pair_features_compact(

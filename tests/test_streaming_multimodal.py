@@ -53,6 +53,90 @@ def test_stream_windowed_agg_matches_batch(spark, tmp_path_factory):
         assert win_start + datetime.timedelta(minutes=5) > horizon
 
 
+def test_stream_late_data_watermark_semantics(spark, tmp_path_factory):
+    """Late-data semantics (VERDICT r3 'Next' #5): rows arriving BEHIND
+    the watermark are dropped; late rows for a still-open window are
+    incorporated before that window closes; append mode emits every
+    closed window exactly once.
+
+    Four source files → four micro-batches (maxFilesPerTrigger=1, mtimes
+    ordered 10 s apart). Watermark 10 min, window 5 min; ts are minutes
+    past a fixed epoch hour:
+      batch A: on-time rows at 10:01, 10:06, 10:21 → the watermark
+               becomes 10:21-10:10 = 10:11
+      batch B: on-time row at 10:22 — under the 10:11 watermark, windows
+               [10:00,10:05) and [10:05,10:10) are CLOSED and emitted
+               during this batch
+      batch C: late row 10:02 (its window closed in a prior batch → must
+               be DROPPED — verified both by the emitted count and by
+               the state operator's numRowsDroppedByWatermark), late row
+               10:12 (window [10:10,10:15) still open → must COUNT),
+               fresh row 10:41 (advances the watermark)
+      batch D: fresh row 10:52 → the 10:31 watermark closes
+               [10:10,10:15) and [10:20,10:25)
+    Note the one-batch lag (measured, Spark 4.x): a window is only safe
+    from late updates once it was closed in a PRIOR batch — which is why
+    the closed-window drop is staged two batches after the advancing
+    data.
+    """
+    import datetime
+    import time as _time
+
+    base = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def rows(*minutes):
+        return [
+            (i, base + datetime.timedelta(minutes=m), 1, "x", 1.0, "{}")
+            for i, m in enumerate(minutes)
+        ]
+
+    schema = SI.EVENTS_SCHEMA
+    src = str(tmp_path_factory.mktemp("late_events"))
+    batches = [rows(1, 6, 21), rows(22), rows(2, 12, 41), rows(52)]
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}"))
+    # stage the part files flat (the source lists files recursively, but
+    # mtime must strictly order the batches at the FILE level)
+    import glob
+    import shutil
+
+    flat = str(tmp_path_factory.mktemp("late_events_flat"))
+    t0 = _time.time()
+    for i in range(len(batches)):
+        (part,) = glob.glob(os.path.join(src, f"b{i}", "part-*.parquet"))
+        dst = os.path.join(flat, f"batch_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    sdf = SI.stream_events_windowed(spark, flat, max_files_per_trigger=1)
+    q = sdf.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    q.processAllAvailable()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    q.stop()
+    out = spark.sql("SELECT * FROM late_out").collect()
+    got = {(r["win_start"].minute, r["event_type"]): r["n"] for r in out}
+    assert len(got) == len(out), "append mode emitted a window twice"
+    # the 10:02 row behind the watermark was dropped by the state operator
+    assert dropped == 1, [p["stateOperators"] for p in q.recentProgress]
+    # [10:00,10:05): emitted with ONLY the on-time 10:01 row — the late
+    # 10:02 row arriving after the window closed did not resurrect it
+    assert got[(0, "x")] == 1, got
+    # [10:05,10:10): closed on time
+    assert got[(5, "x")] == 1, got
+    # [10:10,10:15): still open when the late 10:12 row arrived → counts
+    assert got[(10, "x")] == 1, got
+    # [10:20,10:25): both on-time rows (10:21 batch A + 10:22 batch B)
+    assert got[(20, "x")] == 2, got
+    # open windows (10:40, 10:50) are not emitted yet
+    assert set(got) == {(0, "x"), (5, "x"), (10, "x"), (20, "x")}, got
+
+
 def test_stream_exact_dedup(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("stream_src"))
     df = spark.createDataFrame(
