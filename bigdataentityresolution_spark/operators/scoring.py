@@ -710,6 +710,56 @@ def calibrate_edge_threshold(
     return float(min((hi + lo) / 2.0, hi - 1e-12))
 
 
+def calibrate_override_bar(
+    labeled_pairs: DataFrame,
+    model: LRModel,
+    jaccard_min: float,
+    cosine_min: float,
+    feature_cols: tuple[str, ...] = FEATURE_COLS,
+    label_col: str = "label",
+    floor: float = 0.8,
+    cap: float = 0.99,
+    margin: float = 0.02,
+    driver_max: int = 2_000_000,
+) -> float:
+    """Calibrate the high-confidence override bar on the labeled pairs.
+
+    The override accepts an edge under RELAXED similarity floors when the
+    model is sufficiently confident; the question is what "sufficiently"
+    means. A fixed bar is either too strict (r4 measured: true
+    adversarial clones score proba 0.95-0.98 and a 0.98 bar rejects all
+    of them — recall 0.69) or unsafe on a corpus whose negatives the
+    model scores high. Calibration answers it directly: the bar is the
+    max proba any LABELED NEGATIVE that passes the relaxed floors
+    achieves, plus a margin — i.e. the smallest bar the evidence says no
+    known-negative clears — clamped to [floor, cap].
+
+    ``floor`` defaults to 0.8, the reference's own confidence clamp
+    (logistic_overfit_dataList's threshold ceiling, src/logistic.c:734):
+    no matter how clean the labeled negatives look, an override below
+    that structural minimum is never granted, because the labeled
+    negative sample can under-represent the corpus's negative shapes
+    (the measured r4 failure mode behind never going floor-free).
+
+    Driver-local like calibrate_edge_threshold: labeled pairs are the
+    problem's small relation.
+    """
+    relaxed = (F.col("f_jaccard") >= F.lit(float(jaccard_min))) & (
+        (F.col("f_cosine") >= F.lit(float(cosine_min))) | (F.col("f_cosine") == 0)
+    )
+    pdf = (
+        predict(labeled_pairs, model, feature_cols)
+        .filter((F.col(label_col) == 0) & relaxed)
+        .select("proba")
+        .limit(driver_max)
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        return float(floor)
+    worst = float(pdf["proba"].max())
+    return float(min(max(worst + margin, floor), cap))
+
+
 def accuracy(scored: DataFrame, label_col: str = "label") -> float:
     """corrects / total (logistic_score, src/logistic.c:601-615) — the
     global definition, not the reference's per-batch mean-of-means quirk

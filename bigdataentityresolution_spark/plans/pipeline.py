@@ -111,8 +111,17 @@ class ERConfig:
     # override then merged 4.3k unrelated files into one cluster).
     # The relaxed minima are a structural sanity bar the model cannot
     # override: no edge below them is accepted no matter the score.
-    edge_high_conf_override: float | None = 0.98
-    edge_override_jaccard_min: float = 0.3
+    # "auto" (default) calibrates the bar on the labeled pairs
+    # (scoring.calibrate_override_bar): the max proba any labeled
+    # negative passing the relaxed floors achieves + margin, clamped to
+    # [0.8, 0.99] — 0.8 is the reference's own confidence clamp
+    # (src/logistic.c:734) kept as the structural minimum. A fixed bar
+    # was the r4 failure mode this replaces: true adversarial clones
+    # score proba 0.95-0.98 and a hardcoded 0.98 bar rejected every one
+    # of them (hard-tier recall 0.69 measured; 0.84 calibrated, at
+    # unchanged precision 0.9988).
+    edge_high_conf_override: float | str | None = "auto"
+    edge_override_jaccard_min: float = 0.2
     edge_override_cosine_min: float = 0.35
     # Submit independent stage groups as CONCURRENT Spark jobs (label
     # closure ∥ corpus prep; training ∥ candidate generation). The DAG's
@@ -542,6 +551,19 @@ def run_er_pipeline(
     else:
         thr = model.threshold
 
+    if config.edge_high_conf_override == "auto":
+        override_bar = S.calibrate_override_bar(
+            train_pairs.select("label", *S.FEATURE_COLS),
+            model,
+            jaccard_min=config.edge_override_jaccard_min,
+            cosine_min=config.edge_override_cosine_min,
+        )
+        plog(f"override bar calibrated: {override_bar:.4f}")
+    elif config.edge_high_conf_override is not None:
+        override_bar = float(config.edge_high_conf_override)
+    else:
+        override_bar = None
+
     def final_cluster():
         pos_label_edges = labeled_pairs.filter(F.col("label") == 1).select(
             F.least("left_spec_id", "right_spec_id").alias("a"),
@@ -567,7 +589,7 @@ def run_er_pipeline(
             floor_ok = floor_ok & (
                 F.col("f_jaccard") >= F.lit(float(config.edge_jaccard_floor))
             )
-        if config.edge_high_conf_override is not None:
+        if override_bar is not None:
             relaxed_ok = (
                 (F.col("f_jaccard") >= F.lit(float(config.edge_override_jaccard_min)))
                 & (
@@ -577,10 +599,7 @@ def run_er_pipeline(
             )
             accepted = accepted.filter(
                 floor_ok
-                | (
-                    relaxed_ok
-                    & (F.col("proba") >= F.lit(float(config.edge_high_conf_override)))
-                )
+                | (relaxed_ok & (F.col("proba") >= F.lit(float(override_bar))))
             )
         else:
             accepted = accepted.filter(floor_ok)
@@ -589,7 +608,7 @@ def run_er_pipeline(
         )
         edges = pos_label_edges.unionByName(pred_edges)
         cc_dir = (
-            os.path.join(workdir, f"cc_final_{config.fingerprint('cluster' + str(thr))}")
+            os.path.join(workdir, f"cc_final_{config.fingerprint('cluster' + str(thr) + str(override_bar))}")
             if workdir
             else None
         )
@@ -603,7 +622,7 @@ def run_er_pipeline(
 
     plog("final_cluster: start")
     final_labels = runner.run(
-        "cluster", final_cluster, config.fingerprint("cluster" + str(thr))
+        "cluster", final_cluster, config.fingerprint("cluster" + str(thr) + str(override_bar))
     )
     plog("final_cluster: done")
 
@@ -618,6 +637,8 @@ def run_er_pipeline(
         "train_pairs": train_pairs,
         "model": model,
         "scored": scored,
+        "edge_threshold": thr,
+        "override_bar": override_bar,
         "labels": final_labels,
         "matches": matches,
         "runner": runner,
