@@ -720,6 +720,7 @@ def calibrate_override_bar(
     floor: float = 0.8,
     cap: float = 0.99,
     margin: float = 0.02,
+    min_n: int = 30,
     driver_max: int = 2_000_000,
 ) -> float:
     """Calibrate the high-confidence override bar on the labeled pairs.
@@ -734,12 +735,25 @@ def calibrate_override_bar(
     achieves, plus a margin — i.e. the smallest bar the evidence says no
     known-negative clears — clamped to [floor, cap].
 
+    **Lowering the bar below ``cap`` requires POSITIVE evidence.** If
+    fewer than ``min_n`` labeled negatives pass the relaxed floors, the
+    sample says nothing about the high-proba tail of the corpus's
+    relaxed-region negatives, and the bar stays at ``cap``. Absence of
+    evidence is not favorable evidence — measured r4: on the standard
+    bench corpus ZERO labeled negatives pass the relaxed floors, and an
+    earlier draft that fell back to ``floor`` admitted 117 cross-cluster
+    false edges scoring 0.80-0.898 (pairwise precision 1.0 -> 0.970),
+    none of which any labeled pair foreshadowed. On the hard tier 381
+    labeled negatives pass (max proba 0.177) — there the evidence is
+    real, the floor bar is granted, and it admits 11.7k true low-overlap
+    clone edges with zero false ones.
+
     ``floor`` defaults to 0.8, the reference's own confidence clamp
     (logistic_overfit_dataList's threshold ceiling, src/logistic.c:734):
     no matter how clean the labeled negatives look, an override below
-    that structural minimum is never granted, because the labeled
-    negative sample can under-represent the corpus's negative shapes
-    (the measured r4 failure mode behind never going floor-free).
+    that structural minimum is never granted, because a finite labeled
+    negative sample can still under-represent the corpus's negative
+    shapes.
 
     Driver-local like calibrate_edge_threshold: labeled pairs are the
     problem's small relation.
@@ -754,8 +768,8 @@ def calibrate_override_bar(
         .limit(driver_max)
         .toPandas()
     )
-    if len(pdf) == 0:
-        return float(floor)
+    if len(pdf) < int(min_n):
+        return float(cap)
     worst = float(pdf["proba"].max())
     return float(min(max(worst + margin, floor), cap))
 

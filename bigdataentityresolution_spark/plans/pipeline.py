@@ -119,7 +119,12 @@ class ERConfig:
     # was the r4 failure mode this replaces: true adversarial clones
     # score proba 0.95-0.98 and a hardcoded 0.98 bar rejected every one
     # of them (hard-tier recall 0.69 measured; 0.84 calibrated, at
-    # unchanged precision 0.9988).
+    # unchanged precision 0.9988). Lowering the bar below the cap
+    # requires >= min_n labeled negatives INSIDE the relaxed region —
+    # an empty sample yields the cap, not the floor (measured r4: the
+    # standard corpus has zero such negatives yet 117 cross-cluster
+    # pairs scoring 0.80-0.898 there; a floor fallback cost precision
+    # 1.0 -> 0.970).
     edge_high_conf_override: float | str | None = "auto"
     edge_override_jaccard_min: float = 0.2
     edge_override_cosine_min: float = 0.35

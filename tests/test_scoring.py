@@ -304,3 +304,50 @@ def test_prune_weak_examples_boundaries(spark):
     df = spark.createDataFrame(rows, "id long, proba double")
     kept = {r["id"] for r in prune_weak_examples(df, t).collect()}
     assert kept == {1, 4, 5, 7}
+
+
+def _pairs_df(spark, rows):
+    """rows: (label, f_cosine, f_jaccard, f_lev)"""
+    return spark.createDataFrame(
+        rows, "label int, f_cosine double, f_jaccard double, f_lev double"
+    )
+
+
+def test_calibrate_override_bar_requires_evidence(spark):
+    """Lowering the bar below cap needs >= min_n labeled negatives IN the
+    relaxed region (r4 measured failure: the standard bench corpus has
+    ZERO such negatives, yet holds 117 cross-cluster pairs scoring
+    0.80-0.898 there — an empty sample must yield cap, not floor)."""
+    m = S.LRModel(weights=(1.0, 1.0, 0.0), bias=0.0)
+    # all negatives BELOW the relaxed floors -> empty evidence -> cap
+    df = _pairs_df(
+        spark,
+        [(0, 0.1, 0.05, 0.9), (0, 0.2, 0.1, 0.8), (1, 0.9, 0.8, 0.1)] * 20,
+    )
+    bar = S.calibrate_override_bar(df, m, jaccard_min=0.2, cosine_min=0.35)
+    assert bar == 0.99
+
+    # negatives in the region but fewer than min_n -> still cap
+    few = _pairs_df(spark, [(0, 0.5, 0.3, 0.5)] * 5 + [(1, 0.9, 0.8, 0.1)] * 5)
+    bar = S.calibrate_override_bar(few, m, jaccard_min=0.2, cosine_min=0.35)
+    assert bar == 0.99
+
+
+def test_calibrate_override_bar_with_evidence(spark):
+    """With a real in-region negative sample the bar is max(neg proba) +
+    margin, clamped to [floor, cap] — low-scoring negatives grant the
+    floor (hard-tier shape: 381 negatives, max proba 0.177 -> bar 0.8)."""
+    # strongly negative weights -> all probas tiny -> floor clamp
+    m_low = S.LRModel(weights=(-8.0, -8.0, 0.0), bias=-4.0)
+    df = _pairs_df(
+        spark, [(0, 0.5, 0.3, 0.5)] * 40 + [(1, 0.9, 0.8, 0.1)] * 10
+    )
+    assert S.calibrate_override_bar(df, m_low, jaccard_min=0.2, cosine_min=0.35) == 0.8
+
+    # a high-scoring in-region negative pushes the bar to worst + margin
+    m_hi = S.LRModel(weights=(4.0, 4.0, 0.0), bias=0.0)
+    bar = S.calibrate_override_bar(df, m_hi, jaccard_min=0.2, cosine_min=0.35)
+    import numpy as np
+
+    worst = 1 / (1 + np.exp(-(4.0 * 0.5 + 4.0 * 0.3)))
+    assert abs(bar - min(max(worst + 0.02, 0.8), 0.99)) < 1e-9
