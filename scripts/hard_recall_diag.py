@@ -98,6 +98,8 @@ def main() -> None:
     cfg = ERConfig()
     result = run_er_pipeline(spark, files, pairs, workdir=None, config=cfg)
     thr = float(result["edge_threshold"])
+    # resolved (calibrated) override bar — cfg may hold the sentinel "auto"
+    override_bar = float(result["override_bar"])
 
     # true pairs from the truth labeling (within-cluster pairs)
     t = truth.select("spec_id", "cluster_id")
@@ -172,10 +174,10 @@ def main() -> None:
         F.when(F.col("proba") < thr, "proba_below_thr")
         .when(floor_ok, "accepted?!")  # should be empty — accepted but unmerged
         .when(
-            relaxed_ok & (F.col("proba") >= cfg.edge_high_conf_override),
+            relaxed_ok & (F.col("proba") >= override_bar),
             "accepted_override?!",
         )
-        .when(relaxed_ok, "override_proba_short")  # relaxed floors ok, proba in [thr, 0.98)
+        .when(relaxed_ok, "override_proba_short")  # relaxed floors ok, proba in [thr, bar)
         .when(F.col("f_jaccard") < cfg.edge_override_jaccard_min, "below_jaccard_override_min")
         .otherwise("below_cosine_override_min")
         .alias("gate")
