@@ -134,6 +134,7 @@ def bench_er_hard(spark) -> dict:
     result["labels"].select("cluster_id").distinct().count()
     elapsed = time.time() - t0
     m = pairwise_f1(result["labels"], truth)
+    by_kind = _hard_recall_by_kind(result["labels"], truth)
     lm = labeled_pair_f1(result["labels"], pairs)
     result["runner"].release()
     result["train_pairs"].unpersist()
@@ -152,7 +153,48 @@ def bench_er_hard(spark) -> dict:
         "labeled_pair_f1": round(lm["f1"], 4),
         "labeled_pair_fp": lm["fp"],
         "labeled_pair_fn": lm["fn"],
+        **by_kind,
     }
+
+
+def _hard_recall_by_kind(predicted_labels, truth) -> dict:
+    """Attribute the hard tier's recall gap: attainable vs by-construction.
+
+    True pairs come only from hard_* (medium mutation — findable) and
+    orphan_* (heavy mutation — clone↔seed shingle Jaccard below the
+    candidate prefilter, unreachable by design) clusters; the kind is
+    encoded in the synthetic path (src/<kind>/...) carried inside
+    spec_id. recall_hard is the number that reflects engine quality;
+    recall_orphan ≈ 0 is the corpus doing its job."""
+    from pyspark.sql import functions as F
+
+    kind = F.regexp_extract("spec_id", r"src/(hard|orphan)", 1)
+    t = truth.withColumn("kind", kind)
+    tp_pairs = (
+        t.select(F.col("spec_id").alias("a"), "cluster_id", "kind")
+        .join(t.select(F.col("spec_id").alias("b"), "cluster_id"), "cluster_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "kind")
+    )
+    p1 = predicted_labels.select(F.col("spec_id").alias("a"), "cluster_id")
+    p2 = predicted_labels.select(F.col("spec_id").alias("b"), "cluster_id")
+    pred_pairs = (
+        p1.join(p2, "cluster_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1).alias("hit"))
+    )
+    rows = (
+        tp_pairs.join(pred_pairs, ["a", "b"], "left")
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_true"), F.sum(F.coalesce("hit", F.lit(0))).alias("n_tp"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        k = r["kind"] or "other"
+        out[f"recall_{k}"] = round(r["n_tp"] / r["n_true"], 4) if r["n_true"] else 1.0
+        out[f"true_pairs_{k}"] = r["n_true"]
+    return out
 
 
 HOTKEY_CORPUS_DIR = os.environ.get("SPARK_GRAFT_HOTKEY_CORPUS", "/tmp/bench_hotkey_corpus")

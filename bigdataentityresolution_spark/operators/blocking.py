@@ -175,12 +175,16 @@ def block_membership(
     All hashing is codegen'd expression work computed in the scan
     projection; the only shuffle is whatever the consumer does next.
 
-    Default banding (16 bands × 2 rows over 32 perms) tuned on the
-    synthetic clone corpus: true clone pairs sit at 2-shingle Jaccard
-    ≥ 0.5 → P(share a band) ≥ 0.99; unrelated pairs (J ≲ 0.15) collide
-    with P ≈ 0.3 and are rejected by the scorer. Pair-level blocking
-    misses are additionally healed by transitive closure (a~c, c~b ⇒
-    a,b same cluster).
+    Function default banding (16 bands × 2 rows over 32 perms) suits
+    easy near-dup regimes: true clone pairs at 2-shingle Jaccard ≥ 0.5
+    → P(share a band) ≥ 0.99; unrelated pairs (J ≲ 0.15) collide with
+    P ≈ 0.3 and are rejected by the scorer. The ER pipeline default
+    (ERConfig) is 32 bands × 2 rows over 64 perms, which lifts candidate
+    probability at J 0.15/0.20/0.25 from 30/48/64% to 52/73/87% — the
+    regime adversarially-mutated clones live in (measured on the HARD
+    tier: hard-kind recall 0.8865 → 0.9708; scripts/hard_sweep.py).
+    Pair-level blocking misses are additionally healed by transitive
+    closure (a~c, c~b ⇒ a,b same cluster).
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
     sig = minhash_signatures_df(

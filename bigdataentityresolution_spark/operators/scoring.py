@@ -551,15 +551,24 @@ def fit_lr_newton(
       per round. Converges in ~5 rounds where the reference's lr=0.6 GD
       (kept in fit_lr for parity) needs hundreds.
 
-    Threshold bookkeeping matches fit_lr. The penalty is applied per
-    round inside the Hessian as ridge·n·I with the INTERCEPT diagonal
-    zeroed (see _ridge_penalty).
-
-    ridge=1e-3 (×n inside the Hessian): labeled ER pairs are usually
-    near-separable in feature space, and an unregularized fit blows the
-    weights up in a noise-chosen direction (measured: w_jaccard ≈ +30,
-    w_cosine ≈ −9.5 at ridge 1e-8 — the sign on cosine was WRONG), which
-    lets MinHash noise-tail pairs cross the decision threshold.
+    Threshold bookkeeping matches fit_lr. Regularization (be precise —
+    r4 audit): the ridge·n·I penalty (intercept diagonal zeroed, see
+    _ridge_penalty) sits in the HESSIAN ONLY, i.e. Levenberg-style step
+    damping, NOT an L2-penalized objective — iterated to convergence it
+    would reach the unpenalized MLE. The effective regularizer is
+    damping + the bounded round budget (max_rounds ≤ 8), which is what
+    keeps near-separable fits from blowing the weights up in a
+    noise-chosen direction (measured: w_jaccard ≈ +30, w_cosine ≈ −9.5
+    at ridge 1e-8 — the sign on cosine was WRONG and MinHash noise-tail
+    pairs crossed the threshold). A true-ridge variant (penalty in the
+    gradient too) was tried in r4 and REJECTED on measurement: it
+    flattens the fit enough that the calibrated edge threshold drops
+    (0.45 → 0.18 on the tiny hard corpus) and full-floor template
+    negatives walk over it (pairwise precision 0.95 → 0.17), while the
+    hard-tier conditional structure the model needs (same cosine,
+    LOWER lev ⇒ clone, not boilerplate — a legitimately negative
+    conditional weight) is weakened. The damped/early-stopped fit is
+    the behavior every committed quality number rests on.
     """
     model = model or LRModel(weights=tuple(0.0 for _ in feature_cols))
     d = len(feature_cols)
@@ -720,7 +729,7 @@ def calibrate_override_bar(
     floor: float = 0.8,
     cap: float = 0.99,
     margin: float = 0.02,
-    min_n: int = 30,
+    min_n: int = 150,
     driver_max: int = 2_000_000,
 ) -> float:
     """Calibrate the high-confidence override bar on the labeled pairs.
@@ -748,6 +757,18 @@ def calibrate_override_bar(
     real, the floor bar is granted, and it admits 11.7k true low-overlap
     clone edges with zero false ones.
 
+    ``min_n=150`` is the rule of three: n all-clean negative samples in
+    the region bound the region's true high-proba negative rate below
+    ~3/n at 95% confidence, so n=150 certifies ≲2%; the r4 value of 30
+    certified only ≲10%, and the tiny hard corpus (46 in-region
+    negatives, a fragile small-sample IRLS fit whose noise pocket the
+    labels never sampled) walked through it: 120 false cluster pairs at
+    proba 0.80-0.86, pairwise precision 0.95 → 0.80. A sample-size gate
+    is the honest fix — weight-sign gating was tried and rejected,
+    because at bench scale a negative CONDITIONAL weight (same cosine,
+    lower lev ⇒ clone not boilerplate) is genuine generalizing signal,
+    not pathology.
+
     ``floor`` defaults to 0.8, the reference's own confidence clamp
     (logistic_overfit_dataList's threshold ceiling, src/logistic.c:734):
     no matter how clean the labeled negatives look, an override below
@@ -771,7 +792,21 @@ def calibrate_override_bar(
     if len(pdf) < int(min_n):
         return float(cap)
     worst = float(pdf["proba"].max())
-    return float(min(max(worst + margin, floor), cap))
+    # Headroom rule (r4): the bar must stand clear of the worst labeled
+    # negative by at least half its remaining distance to certainty, not
+    # a flat 0.02. A labeled-negative max is an n-sample extreme — the
+    # corpus's unlabeled negative tail WILL exceed it — so a worst near
+    # the floor (say 0.78) must not be granted a bar of 0.80 with only
+    # 0.02 of room; it gets 0.89. When the model separates sharply
+    # (bench-scale hard tier: worst 0.177), the rule is inactive — the
+    # floor clamp binds and the grant is unchanged. Note this rule is a
+    # BACKSTOP for moderate worsts; the tiny-corpus failure mode (all
+    # labeled negatives ≤ 0.6 yet an unlabeled pocket at 0.80-0.86,
+    # because the thin-sample fit's geometry differs from the tail's) is
+    # caught by the min_n evidence gate above, not by any margin on the
+    # max.
+    headroom = max(margin, 0.5 * (1.0 - worst))
+    return float(min(max(worst + headroom, floor), cap))
 
 
 def accuracy(scored: DataFrame, label_col: str = "label") -> float:

@@ -49,8 +49,16 @@ from bigdataentityresolution_spark.plans.checkpoint import StageRunner
 @dataclass(frozen=True)
 class ERConfig:
     shingle_n: int = 2
-    num_perm: int = 32
-    bands: int = 16
+    # MinHash sketch width / LSH banding. 64 perms in 32 bands × 2 rows
+    # (r4; was 32/16): candidate probability at exact-shingle-J
+    # 0.15/0.20/0.25 rises 30/48/64% → 52/73/87%, which on the HARD tier
+    # bought attainable (hard-kind) pair recall 0.8865 → 0.9708 at
+    # precision 0.9997 and +10% easy-bench wall (candidates ×1.9, sketch
+    # 256 B/doc — still ~nothing vs content). 96/48 reaches 0.986 at
+    # ×2.8 candidates (+43% wall): the recall-critical setting, not the
+    # default. Measured: scripts/hard_sweep.py.
+    num_perm: int = 64
+    bands: int = 32
     per_block_cap: int = 64
     # Vocabulary size for the pair-join TF-IDF vectors. "auto" (default)
     # scales with the corpus: min(max(1000, n_docs), 1_000_000). The
@@ -68,7 +76,15 @@ class ERConfig:
     # None disables; the prune auto-falls-back on tiny/common-vocab corpora.
     max_df_ratio: float | None = 0.35
     lev_bound: int = 128
-    sig_prefilter: float = 0.2  # drop candidates with est-Jaccard below this
+    # Drop candidates with est-Jaccard below this before featurization.
+    # 0.12 (r4; was 0.2): at 32 perms the estimator's sampling noise
+    # pushed true J≈0.25 pairs under 0.2 (~8% of them); with 64 perms
+    # the estimate is tight enough to admit the J 0.12-0.2 band the LSH
+    # now surfaces. Measured on the HARD tier: 540 true pairs died at
+    # the 0.2 prefilter; lowering it (with the matching override floor)
+    # is worth ~3 recall points at unchanged precision — the calibrated
+    # override bar, not this filter, is the precision defense.
+    sig_prefilter: float = 0.12
     newton_rounds: int = 5  # IRLS is quadratic — 5 rounds reach |step| < 1e-4
     self_train: bool = True
     self_train_limit_factor: int = 12  # pairs_limit = train_size × 12 (src/functs.c:23)
@@ -118,15 +134,24 @@ class ERConfig:
     # (src/logistic.c:734) kept as the structural minimum. A fixed bar
     # was the r4 failure mode this replaces: true adversarial clones
     # score proba 0.95-0.98 and a hardcoded 0.98 bar rejected every one
-    # of them (hard-tier recall 0.69 measured; 0.84 calibrated, at
-    # unchanged precision 0.9988). Lowering the bar below the cap
-    # requires >= min_n labeled negatives INSIDE the relaxed region —
-    # an empty sample yields the cap, not the floor (measured r4: the
-    # standard corpus has zero such negatives yet 117 cross-cluster
-    # pairs scoring 0.80-0.898 there; a floor fallback cost precision
-    # 1.0 -> 0.970).
+    # of them (hard-tier recall 0.69 measured; 0.84 calibrated at the
+    # r4 32/16 banding, 0.971 hard-kind at the shipped 64/32 banding —
+    # precision 0.9997 throughout). Lowering the bar below the cap
+    # requires >= min_n (150, rule-of-three ≲2% tail bound) labeled
+    # negatives INSIDE the relaxed region — an empty or thin sample
+    # yields the cap, not the floor (measured r4: the standard corpus
+    # has zero such negatives yet 117 cross-cluster pairs scoring
+    # 0.80-0.898 there — a floor fallback cost precision 1.0 -> 0.970;
+    # the tiny hard corpus has 46, and granting on them cost precision
+    # 0.95 -> 0.80).
     edge_high_conf_override: float | str | None = "auto"
-    edge_override_jaccard_min: float = 0.2
+    # 0.12 in lockstep with sig_prefilter (r4; was 0.2): an edge the
+    # prefilter admits must also be ACCEPTABLE, else the featurization
+    # was wasted — and the 64-perm estimate at 0.12 is as reliable as
+    # the 32-perm one was at 0.2 (same ±1 std-dev band). Precision holds
+    # because the calibrated bar re-learns over whatever labeled
+    # negatives enter the widened relaxed region.
+    edge_override_jaccard_min: float = 0.12
     edge_override_cosine_min: float = 0.35
     # Submit independent stage groups as CONCURRENT Spark jobs (label
     # closure ∥ corpus prep; training ∥ candidate generation). The DAG's

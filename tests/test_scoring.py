@@ -334,20 +334,32 @@ def test_calibrate_override_bar_requires_evidence(spark):
 
 
 def test_calibrate_override_bar_with_evidence(spark):
-    """With a real in-region negative sample the bar is max(neg proba) +
-    margin, clamped to [floor, cap] — low-scoring negatives grant the
-    floor (hard-tier shape: 381 negatives, max proba 0.177 -> bar 0.8)."""
+    """With a real in-region negative sample (>= min_n=150, the
+    rule-of-three evidence gate) the bar is max(neg proba) + headroom,
+    clamped to [floor, cap] — low-scoring negatives grant the floor
+    (hard-tier shape: 381 negatives, max proba 0.177 -> bar 0.8)."""
     # strongly negative weights -> all probas tiny -> floor clamp
     m_low = S.LRModel(weights=(-8.0, -8.0, 0.0), bias=-4.0)
     df = _pairs_df(
-        spark, [(0, 0.5, 0.3, 0.5)] * 40 + [(1, 0.9, 0.8, 0.1)] * 10
+        spark, [(0, 0.5, 0.3, 0.5)] * 160 + [(1, 0.9, 0.8, 0.1)] * 10
     )
     assert S.calibrate_override_bar(df, m_low, jaccard_min=0.2, cosine_min=0.35) == 0.8
 
-    # a high-scoring in-region negative pushes the bar to worst + margin
+    # below min_n in-region negatives: no grant, bar stays at cap —
+    # 46 negatives walked 120 false cluster pairs through the r4
+    # min_n=30 gate on the tiny hard corpus
+    df_thin = _pairs_df(
+        spark, [(0, 0.5, 0.3, 0.5)] * 40 + [(1, 0.9, 0.8, 0.1)] * 10
+    )
+    assert S.calibrate_override_bar(df_thin, m_low, jaccard_min=0.2, cosine_min=0.35) == 0.99
+
+    # a high-scoring in-region negative pushes the bar to worst +
+    # headroom, where headroom = max(margin, half the distance to
+    # certainty) — a near-1 worst negative demands proportional room
     m_hi = S.LRModel(weights=(4.0, 4.0, 0.0), bias=0.0)
     bar = S.calibrate_override_bar(df, m_hi, jaccard_min=0.2, cosine_min=0.35)
     import numpy as np
 
     worst = 1 / (1 + np.exp(-(4.0 * 0.5 + 4.0 * 0.3)))
-    assert abs(bar - min(max(worst + 0.02, 0.8), 0.99)) < 1e-9
+    headroom = max(0.02, 0.5 * (1.0 - worst))
+    assert abs(bar - min(max(worst + headroom, 0.8), 0.99)) < 1e-9
