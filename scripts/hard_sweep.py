@@ -23,24 +23,26 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 CONFIGS = {
-    # r4 shipped default
+    # the shipped r4 default (64 perms / 32 bands, prefilter+override
+    # floor 0.12) — the sweep's winner, promoted into ERConfig
     "base": {},
-    # double the LSH bands (64 perms / 32 bands, r=2): candidate prob at
-    # exact-J 0.15/0.20/0.25 goes 30/48/64% -> 52/73/87%
-    "bands32": {"num_perm": 64, "bands": 32},
-    # lower the est-Jaccard featurization prefilter + override floor in
-    # lockstep (est noise at 32 perms drops true J~0.25 pairs below 0.2)
-    "pref12": {"sig_prefilter": 0.12, "edge_override_jaccard_min": 0.12},
-    # both levers
-    "bands32_pref12": {
-        "num_perm": 64, "bands": 32,
-        "sig_prefilter": 0.12, "edge_override_jaccard_min": 0.12,
+    # the pre-r4 default, pinned explicitly so the sweep stays
+    # reproducible against the old operating point
+    "old_default": {
+        "num_perm": 32, "bands": 16,
+        "sig_prefilter": 0.2, "edge_override_jaccard_min": 0.2,
     },
-    # both, with the finer 64-perm estimator trusted a bit higher
-    "bands32_pref15": {
-        "num_perm": 64, "bands": 32,
-        "sig_prefilter": 0.15, "edge_override_jaccard_min": 0.15,
-    },
+    # banding lever alone: candidate prob at exact-J 0.15/0.20/0.25
+    # goes 30/48/64% -> 52/73/87%
+    "bands32_only": {"sig_prefilter": 0.2, "edge_override_jaccard_min": 0.2},
+    # prefilter lever alone on the old banding (est noise at 32 perms
+    # drops true J~0.25 pairs below 0.2)
+    "old_bands_pref12": {"num_perm": 32, "bands": 16},
+    # the recall-critical setting: hard-kind recall 0.986 at x2.8
+    # candidates / +43% easy-bench wall
+    "bands48_pref12": {"num_perm": 96, "bands": 48},
+    # diminishing-returns point: 0.993 at x3.6 candidates
+    "bands64_pref12": {"num_perm": 128, "bands": 64},
 }
 
 
