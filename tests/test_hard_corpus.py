@@ -137,6 +137,30 @@ def test_hard_ceiling_is_broken_and_quality_floor_holds(hard_result, hard_tables
     assert m["f1"] >= 0.70, m
 
 
+def test_hard_recall_decomposition_by_kind(hard_result, hard_tables):
+    """bench._hard_recall_by_kind attributes the recall gap between
+    attainable (hard-kind, medium mutation) and by-construction
+    (orphan-kind, below the candidate prefilter) misses. The split must
+    cover all true pairs and order correctly: orphans are DESIGNED to be
+    less reachable than hard clones."""
+    import bench
+
+    _, truth_df, _ = hard_tables
+    by_kind = bench._hard_recall_by_kind(hard_result["labels"], truth_df)
+    assert set(by_kind) >= {
+        "recall_hard", "recall_orphan", "true_pairs_hard", "true_pairs_orphan",
+    }
+    m = P.pairwise_f1(hard_result["labels"], truth_df)
+    assert by_kind["true_pairs_hard"] + by_kind["true_pairs_orphan"] == m["true_pairs"]
+    assert by_kind["recall_orphan"] < by_kind["recall_hard"]
+    # the weighted kind recalls must reproduce the overall recall
+    tp = (
+        by_kind["recall_hard"] * by_kind["true_pairs_hard"]
+        + by_kind["recall_orphan"] * by_kind["true_pairs_orphan"]
+    )
+    assert abs(tp / m["true_pairs"] - m["recall"]) < 1e-3
+
+
 def test_hotkey_corpus_shape():
     c = generate_hotkey_corpus(n_hot=200, n_background=100, seed=7)
     assert c.meta["n_hot"] == 200 and len(c.files) == 300
