@@ -128,11 +128,27 @@ def bench_er_hard(spark) -> dict:
     pairs = pairs.cache()
     n_files = files.count()
     pairs.count()
-    t0 = time.time()
-    result = run_er_pipeline(spark, files, pairs, workdir=None, config=ERConfig())
-    n_candidates = result["candidates"].count()
-    result["labels"].select("cluster_id").distinct().count()
-    elapsed = time.time() - t0
+    # Timing protocol (VERDICT r4 #3): SPARK_GRAFT_HARD_REPS reps in the
+    # same JVM, min reported, all reps recorded. Default 1 — er_hard is
+    # a QUALITY bench (P/R/F1 are its headline, not the wall) and it runs
+    # after the er_pipeline phase has compiled every plan shape this
+    # pipeline uses, so rep 0 is already warm-shaped; the tag below makes
+    # the protocol explicit so round-over-round walls compare like with
+    # like in the _regressions check.
+    reps = int(os.environ.get("SPARK_GRAFT_HARD_REPS", "1"))
+    rep_secs = []
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        result = run_er_pipeline(spark, files, pairs, workdir=None, config=ERConfig())
+        n_candidates = result["candidates"].count()
+        result["labels"].select("cluster_id").distinct().count()
+        rep_secs.append(time.time() - t0)
+        if len(rep_secs) < max(1, reps):
+            result["runner"].release()
+            result["train_pairs"].unpersist()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+    elapsed = min(rep_secs)
     m = pairwise_f1(result["labels"], truth)
     by_kind = _hard_recall_by_kind(result["labels"], truth)
     lm = labeled_pair_f1(result["labels"], pairs)
@@ -142,6 +158,11 @@ def bench_er_hard(spark) -> dict:
     pairs.unpersist()
     return {
         "sec": elapsed,
+        "rep_secs": [round(s, 3) for s in rep_secs],
+        "rep_protocol": (
+            f"{max(1, reps)}-rep min, warm plan shapes "
+            "(er_pipeline phase precompiles them in the same JVM)"
+        ),
         "n_files": n_files,
         "n_candidates": n_candidates,
         "candidate_pairs_per_sec": n_candidates / elapsed,
@@ -170,6 +191,21 @@ def _hard_recall_by_kind(predicted_labels, truth) -> dict:
 
     kind = F.regexp_extract("spec_id", r"src/(hard|orphan)", 1)
     t = truth.withColumn("kind", kind)
+    # Kind-homogeneity guard (ADVICE r4): the decomposition takes kind
+    # from side 'a' only, which is correct ONLY while every truth cluster
+    # is kind-homogeneous (true for generate_hard_corpus today). A future
+    # corpus with mixed-kind clusters would silently skew the attribution;
+    # fail loudly instead.
+    n_mixed = (
+        t.groupBy("cluster_id")
+        .agg(F.count_distinct("kind").alias("nk"))
+        .filter(F.col("nk") > 1)
+        .count()
+    )
+    assert n_mixed == 0, (
+        f"hard-corpus truth has {n_mixed} mixed-kind clusters; "
+        "_hard_recall_by_kind's side-a attribution no longer holds"
+    )
     tp_pairs = (
         t.select(F.col("spec_id").alias("a"), "cluster_id", "kind")
         .join(t.select(F.col("spec_id").alias("b"), "cluster_id"), "cluster_id")
@@ -246,6 +282,11 @@ def bench_hotkey(spark) -> dict:
     sigs.unpersist()
     mem.unpersist()
     return {
+        # single-rep by design: each variant is a one-shot operator whose
+        # absolute wall (~seconds) matters less than the PAIR COUNT being
+        # held bounded; the _regressions check still compares the walls
+        # round-over-round under this same protocol (VERDICT r4 #3)
+        "rep_protocol": "single-rep, cold per variant (sigs/membership pre-cached)",
         "n_files": files.count(),
         "max_block_members": int(stats["mx"]),
         "n_blocks": int(stats["n_blocks"]),

@@ -254,7 +254,9 @@ def candidate_pairs_with_est(
     carrying them into the per-block member array lets the agreement
     fraction be computed expression-side at pair-generation time, so
     the downstream similarity join only ever sees pairs that pass the
-    est-Jaccard prefilter (~5 % at the default floor).
+    est-Jaccard prefilter (measured survival at bench scale: ~5 % at
+    the pre-r4 0.2 floor; ~2× that at the shipped 0.12 floor, which
+    roughly doubled candidates — BENCH_r04).
 
     Emits ALL capped within-block pairs (no floor here) so candidate
     accounting stays comparable; callers filter on est_j.

@@ -6,8 +6,12 @@ cluster) of each kind (hard / orphan), attribute the miss to the first
 stage that dropped it:
 
 - not_candidate:   the pair never appeared in blocked candidate gen
-                   (MinHash band miss, per-block cap, or est-Jaccard
-                   below sig_prefilter)
+                   (MinHash band miss or per-block cap; the candidates
+                   relation contains ALL capped within-block pairs —
+                   blocking.py:259 "no floor here")
+- prefilter_dropped: became a candidate but est-Jaccard fell below
+                   sig_prefilter at featurization (pipeline.py cand
+                   features), so it was never scored (proba is NULL)
 - below_threshold: scored, but proba < calibrated edge threshold
 - floor_rejected:  proba >= threshold but failed BOTH the full floors
                    and the high-confidence override gate
@@ -90,6 +94,11 @@ def main() -> None:
         .withColumn(
             "stage",
             F.when(F.col("is_cand").isNull(), "not_candidate")
+            # NULL proba = candidate that the est-Jaccard prefilter
+            # dropped before scoring (ADVICE r4: without this branch the
+            # NULL falls through `proba < thr` into floor_rejected and
+            # pollutes the proba aggregations below)
+            .when(F.col("proba").isNull(), "prefilter_dropped")
             .when(F.col("proba") < thr, "below_threshold")
             .otherwise("floor_rejected"),
         )
@@ -100,7 +109,7 @@ def main() -> None:
 
     print("== feature distribution of scored-but-rejected misses ==")
     (
-        diag.filter(F.col("stage") != "not_candidate")
+        diag.filter(F.col("stage").isin("below_threshold", "floor_rejected"))
         .groupBy("kind", "stage")
         .agg(
             F.count("*").alias("n"),
@@ -115,14 +124,20 @@ def main() -> None:
     )
 
     if bar is not None:
+        # Gate constants come from the SAME ERConfig the run used
+        # (ADVICE r4: hardcoded 0.2/0.35 misattributed pairs once the
+        # shipped default override floor moved to 0.12).
+        cfg = ERConfig()
+        jmin = float(cfg.edge_override_jaccard_min)
+        cmin = float(cfg.edge_override_cosine_min)
         print(f"== floor_rejected misses vs override gate (bar={bar:.4f}, "
-              "jacc_min=0.2, cos_min=0.35) ==")
+              f"jacc_min={jmin}, cos_min={cmin}) ==")
         (
             diag.filter(F.col("stage") == "floor_rejected")
             .withColumn(
                 "why",
-                F.when(F.col("f_jaccard") < 0.2, "jacc<0.2")
-                .when((F.col("f_cosine") < 0.35) & (F.col("f_vocab_cov") > 0), "cos<0.35")
+                F.when(F.col("f_jaccard") < jmin, f"jacc<{jmin}")
+                .when((F.col("f_cosine") < cmin) & (F.col("f_vocab_cov") > 0), f"cos<{cmin}")
                 .when(F.col("proba") < bar, "proba<bar")
                 .otherwise("??"),
             )
