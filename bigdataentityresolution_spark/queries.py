@@ -475,6 +475,74 @@ def q_pair_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d1.join(d2, "lang").filter(F.col("a") < F.col("b")).select("a", "b", "lang")
 
 
+@_register(
+    "candidate_pairs_capped",
+    """
+    WITH mem AS (
+      SELECT CAST(doc_id AS VARCHAR) AS spec_id,
+             CAST(CAST(FLOOR(SQRT(doc_id)) AS INT) AS VARCHAR) AS block_key
+      FROM documents
+    ), capped AS (
+      SELECT spec_id, block_key,
+             row_number() OVER (PARTITION BY block_key ORDER BY spec_id) AS rn
+      FROM mem
+    )
+    SELECT DISTINCT c1.spec_id AS a, c2.spec_id AS b
+    FROM capped c1 JOIN capped c2
+      ON c1.block_key = c2.block_key AND c1.spec_id < c2.spec_id
+    WHERE c1.rn <= 16 AND c2.rn <= 16
+    """,
+)
+def q_candidate_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION blocked candidate generator (blocking.candidate_pairs:
+    window cap → per-block member array → expression-side pair explosion →
+    distinct) against a full-fidelity SQL oracle INCLUDING the per-block
+    cap semantics (row_number over spec_id string order, first 16 kept).
+
+    Membership is a deterministic Zipf-ish blocking over documents:
+    block k = floor(sqrt(doc_id)) has ~2k+1 members, so block sizes span
+    1 → 45 at sf0.01 and the cap genuinely binds on the large blocks —
+    the reference's bucket-stripe + pairs_limit analog
+    (src/functs.c:1718,1752-1768). sqrt is IEEE-exact on integers < 2^53
+    so FLOOR(SQRT(·)) agrees bit-for-bit across engines.
+    """
+    from bigdataentityresolution_spark.operators import blocking as B
+
+    mem = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("spec_id"),
+        F.floor(F.sqrt("doc_id")).cast("int").cast("string").alias("block_key"),
+    )
+    return B.candidate_pairs(mem, per_block_cap=16)
+
+
+@_register(
+    "hotkey_salted_parity",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS a, CAST(doc_id AS VARCHAR) AS b
+    FROM documents WHERE 1 = 0
+    """,
+)
+def q_hotkey_salted_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-vs-salted candidate-set EQUALITY as an empty symmetric
+    difference (VERDICT r4 #5): on the same Zipf-ish block membership
+    (floor(sqrt(doc_id)) — hot blocks up to 45 members at sf0.01),
+    candidate_pairs and candidate_pairs_salted(salt_buckets=8) must emit
+    the IDENTICAL pair set whenever no per-(sub)block cap binds — the
+    salting decomposition (within-salt pairs ∪ cross-salt join) is
+    exhaustive and non-duplicating. The oracle is the empty relation;
+    any diff row fails the rowcount/hash compare.
+    """
+    from bigdataentityresolution_spark.operators import blocking as B
+
+    mem = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("spec_id"),
+        F.floor(F.sqrt("doc_id")).cast("int").cast("string").alias("block_key"),
+    )
+    capped = B.candidate_pairs(mem, per_block_cap=100_000)
+    salted = B.candidate_pairs_salted(mem, per_block_cap=100_000, salt_buckets=8)
+    return capped.exceptAll(salted).unionByName(salted.exceptAll(capped))
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY.md §2.4)
 # ---------------------------------------------------------------------------
