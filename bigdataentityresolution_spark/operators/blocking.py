@@ -235,35 +235,66 @@ def candidate_pairs(
     return pairs.distinct()
 
 
-def candidate_pairs_with_est(
-    signatures: DataFrame,
-    bands: int = 16,
+def semantic_topk_membership(
+    doc_vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "spec_id",
+    vec_col: str = "features",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(spec_id, block_key[, carry...]) — the SEMANTIC blocking channel:
+    each doc emits its ``k`` highest-TF-IDF terms as block keys, so two
+    docs become candidates when they share ANY top-weight term
+    (prefix-filtering from the set-similarity-join literature, PPJoin
+    family — the cosine analog of MinHash banding).
+
+    Why this channel exists (VERDICT r4 #1, measured in
+    scripts/semantic_blocking_probe.py on the hard tier): adversarial
+    near-dups below shingle-Jaccard reach (paraphrased/refactored
+    clones) keep their rare discriminative identifiers, which carry the
+    TOP TF-IDF weights — top-5 term blocking reached 99.8% of
+    orphan-kind true pairs (52% lexically reachable) at ~1× the lexical
+    channel's candidate volume, where a SimHash-over-TF-IDF channel
+    managed 71% at 11× the volume and 100× the sketch cost.
+
+    Scale shape: the top-k is computed EXPRESSION-SIDE (sort the map
+    entries by weight, slice k — no per-doc window, no shuffle); k rows
+    per doc ride the one blocking shuffle, and hot terms (a common term
+    that is some docs' top weight) are defused by the same per-block cap
+    as every other channel. No new corpus scan: the int-keyed TF-IDF
+    vectors already exist for pair featurization.
+
+    Determinism: ties on weight break toward the SMALLER term index on
+    both engines (struct comparison on (-w, term)).
+    """
+    # sort entries by (weight desc, term asc) via a sortable struct array
+    sortable = F.transform(
+        F.map_entries(F.col(vec_col)),
+        lambda e: F.struct((-e["value"]).alias("nw"), e["key"].alias("term")),
+    )
+    topk = F.slice(F.array_sort(sortable), 1, k)
+    return doc_vectors.select(
+        F.col(id_col).alias("spec_id"),
+        *carry_cols,
+        F.explode(topk).alias("_e"),
+    ).select(
+        "spec_id",
+        *carry_cols,
+        F.concat(F.lit("t:"), F.col("_e.term").cast("string")).alias("block_key"),
+    )
+
+
+def candidate_pairs_with_est_from_membership(
+    mem: DataFrame,
     num_perm: int = 32,
     per_block_cap: int = 64,
 ) -> DataFrame:
-    """(a, b, est_j) candidate pairs with the MinHash-estimated Jaccard
-    computed INSIDE the blocking stage — the 100 TB-shape successor to
-    candidate_pairs + a downstream signature join.
-
-    Why: featurizing pairs by joining each side back to a signature
-    table ships 2·|pairs| probes of ~256 B sketches through a shuffle
-    (measured at bench scale: ~7 GB of traffic and the single hottest
-    execution in the pipeline, with >2× per-core CPU inflation from the
-    join's build/probe + serialization churn). The signatures are
-    ALREADY co-located in each LSH block after the membership shuffle —
-    carrying them into the per-block member array lets the agreement
-    fraction be computed expression-side at pair-generation time, so
-    the downstream similarity join only ever sees pairs that pass the
-    est-Jaccard prefilter (measured survival at bench scale: ~5 % at
-    the pre-r4 0.2 floor; ~2× that at the shipped 0.12 floor, which
-    roughly doubled candidates — BENCH_r04).
-
-    Emits ALL capped within-block pairs (no floor here) so candidate
-    accounting stays comparable; callers filter on est_j.
-    """
-    mem = membership_from_signatures(
-        signatures, bands=bands, num_perm=num_perm, carry_sig=True
-    )
+    """(a, b, est_j) candidates from ANY (spec_id, block_key, sig)
+    membership — the channel-generic core of candidate_pairs_with_est:
+    cap members per block, collect the sorted (id, sig) array, emit
+    within-block pairs with the MinHash-estimated Jaccard computed
+    expression-side, dedup across blocks. One shuffle on block_key plus
+    the distinct's pair shuffle."""
     w = Window.partitionBy("block_key").orderBy("spec_id")
     capped = (
         mem.withColumn("_rn", F.row_number().over(w))
@@ -303,6 +334,40 @@ def candidate_pairs_with_est(
     # est_j is a pure function of (a, b) → distinct on the full row is
     # the same dedup as on the pair, no extra aggregation needed
     return pairs.distinct()
+
+
+def candidate_pairs_with_est(
+    signatures: DataFrame,
+    bands: int = 16,
+    num_perm: int = 32,
+    per_block_cap: int = 64,
+) -> DataFrame:
+    """(a, b, est_j) candidate pairs with the MinHash-estimated Jaccard
+    computed INSIDE the blocking stage — the 100 TB-shape successor to
+    candidate_pairs + a downstream signature join.
+
+    Why: featurizing pairs by joining each side back to a signature
+    table ships 2·|pairs| probes of ~256 B sketches through a shuffle
+    (measured at bench scale: ~7 GB of traffic and the single hottest
+    execution in the pipeline, with >2× per-core CPU inflation from the
+    join's build/probe + serialization churn). The signatures are
+    ALREADY co-located in each LSH block after the membership shuffle —
+    carrying them into the per-block member array lets the agreement
+    fraction be computed expression-side at pair-generation time, so
+    the downstream similarity join only ever sees pairs that pass the
+    est-Jaccard prefilter (measured survival at bench scale: ~5 % at
+    the pre-r4 0.2 floor; ~2× that at the shipped 0.12 floor, which
+    roughly doubled candidates — BENCH_r04).
+
+    Emits ALL capped within-block pairs (no floor here) so candidate
+    accounting stays comparable; callers filter on est_j.
+    """
+    mem = membership_from_signatures(
+        signatures, bands=bands, num_perm=num_perm, carry_sig=True
+    )
+    return candidate_pairs_with_est_from_membership(
+        mem, num_perm=num_perm, per_block_cap=per_block_cap
+    )
 
 
 def block_stats(membership: DataFrame) -> DataFrame:

@@ -215,7 +215,11 @@ def pair_features_from_est(
     (~5 % at the default floor) probe the compact doc state for the
     TF-IDF map + prefix — at bench scale this removed the pipeline's
     hottest shuffle (2·|pairs| sketch probes). Signature columns never
-    ride this join at all.
+    ride this join at all. Callers mixing candidate CHANNELS (the ER
+    pipeline's lexical ∪ semantic union) pass sig_prefilter=None and
+    apply the filter per-channel before the union — semantic-channel
+    pairs are selected precisely because they live below the sketch
+    estimate's reach, so the prefilter must never see them.
 
     Output schema matches pair_features_compact: (a, b, f_jaccard,
     f_cosine, f_lev, f_vocab_cov).
@@ -731,6 +735,7 @@ def calibrate_override_bar(
     margin: float = 0.02,
     min_n: int = 150,
     driver_max: int = 2_000_000,
+    cosine_exempt_empty: bool = True,
 ) -> float:
     """Calibrate the high-confidence override bar on the labeled pairs.
 
@@ -778,10 +783,19 @@ def calibrate_override_bar(
 
     Driver-local like calibrate_edge_threshold: labeled pairs are the
     problem's small relation.
+
+    ``cosine_exempt_empty``: the default region matches the edge
+    policy's vocab-empty exemption (a pair with an empty TF-IDF
+    projection has cosine identically 0 and must not be hard-vetoed).
+    The SEMANTIC override path calibrates with ``False`` — its region
+    IS "cosine at least cmin", so zero-cosine pairs are outside it by
+    definition and their (numerous, low-proba) labeled negatives must
+    not dilute the in-region evidence.
     """
-    relaxed = (F.col("f_jaccard") >= F.lit(float(jaccard_min))) & (
-        (F.col("f_cosine") >= F.lit(float(cosine_min))) | (F.col("f_cosine") == 0)
-    )
+    cos_ok = F.col("f_cosine") >= F.lit(float(cosine_min))
+    if cosine_exempt_empty:
+        cos_ok = cos_ok | (F.col("f_cosine") == 0)
+    relaxed = (F.col("f_jaccard") >= F.lit(float(jaccard_min))) & cos_ok
     pdf = (
         predict(labeled_pairs, model, feature_cols)
         .filter((F.col(label_col) == 0) & relaxed)

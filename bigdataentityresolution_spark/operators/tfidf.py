@@ -171,6 +171,32 @@ def doc_vectors(
     )
 
 
+def index_vocab(top_vocab: DataFrame) -> DataFrame:
+    """(term, idf, term_idx) — dense index assignment over the top-k
+    vocabulary (row_number by significance desc, term asc — the exact
+    rank order top_k_vocab selected by).
+
+    Idempotent: a vocab that already carries term_idx passes through
+    unchanged, so pipelines can index ONCE in the shared vocabulary
+    stage — the global row_number is a single-partition sort by nature
+    (fine for ≤1M vocab rows, but it showed up twice per run when both
+    prep paths re-derived it; measured ~1-2 s/invocation at bench
+    scale) — and every downstream doc_vectors_indexed reuses the
+    assignment with zero window work.
+    """
+    if "term_idx" in top_vocab.columns:
+        return top_vocab
+    from pyspark.sql import Window as W
+
+    return top_vocab.select(
+        "term",
+        "idf",
+        (F.row_number().over(W.orderBy(F.desc("tfidf_sum_mean"), F.asc("term"))) - 1).alias(
+            "term_idx"
+        ),
+    )
+
+
 def doc_vectors_indexed(
     postings_df: DataFrame, top_vocab: DataFrame, n_docs: int, tf_mode: str = "raw"
 ) -> DataFrame:
@@ -196,15 +222,7 @@ def doc_vectors_indexed(
     discriminative tokens' dominance. The ER pipeline uses "log"; "raw"
     remains the default for reference parity (src/boWords.c:606-619).
     """
-    from pyspark.sql import Window as W
-
-    indexed_vocab = top_vocab.select(
-        "term",
-        "idf",
-        (F.row_number().over(W.orderBy(F.desc("tfidf_sum_mean"), F.asc("term"))) - 1).alias(
-            "term_idx"
-        ),
-    )
+    indexed_vocab = index_vocab(top_vocab)
     lengths = doc_lengths(postings_df)
     with_idf = postings_df.join(
         F.broadcast(indexed_vocab.select("term", "term_idx", "idf")), "term"

@@ -153,6 +153,41 @@ class ERConfig:
     # negatives enter the widened relaxed region.
     edge_override_jaccard_min: float = 0.12
     edge_override_cosine_min: float = 0.35
+    # --- SEMANTIC candidate channel (r5; VERDICT r4 'Next' #1) ---------
+    # The lexical MinHash channel's measured ceiling is pairs whose
+    # shingle Jaccard sits below band reach (hard-tier orphan kind:
+    # recall 0.517 at r4) — yet those same pairs keep their rare
+    # discriminative identifiers, so their vocab-pruned TF-IDF cosine
+    # stays HIGH (measured p10/p50/p90 = 0.63/0.79/0.91,
+    # scripts/orphan_channel_diag.py). The second channel blocks on each
+    # doc's top-k TF-IDF terms (prefix filtering, PPJoin family —
+    # measured 99.8% orphan-pair coverage at ~1x the lexical channel's
+    # candidate volume vs 71% at 11x for SimHash-over-TF-IDF bands,
+    # scripts/semantic_blocking_probe.py). Candidates from this channel
+    # bypass the est-Jaccard prefilter (they are chosen BECAUSE they sit
+    # below it); their acceptance gate is the exact TF-IDF cosine + a
+    # separately calibrated high-confidence bar (see
+    # edge_semantic_override below).
+    semantic_channel: bool = True
+    semantic_topk: int = 5
+    # Hot top-terms are capped like every other channel; 32 (vs the
+    # lexical 64) because a term-block's members are ALL mutually
+    # candidate — the quadratic term is the whole cost here.
+    semantic_block_cap: int = 32
+    # A semantic edge must clear this exact-cosine floor AND the
+    # calibrated semantic bar. 0.35 aligns with edge_override_cosine_min
+    # — deliberately: the labeled negatives that anchor the semantic
+    # bar's evidence (template-similar pairs) live at cosine 0.38-0.47
+    # on the hard tier, so a higher floor would empty the evidence
+    # region and the bar would stay at its cap (no semantic edges).
+    edge_semantic_cosine_min: float = 0.35
+    # "auto" calibrates on labeled pairs over the region
+    # {f_cosine >= edge_semantic_cosine_min} with NO vocab-empty
+    # exemption and NO jaccard requirement (calibrate_override_bar with
+    # jaccard_min=0, cosine_exempt_empty=False); float pins it; None
+    # disables the semantic accept path (the channel then only feeds
+    # pairs that some other gate accepts).
+    edge_semantic_override: float | str | None = "auto"
     # Submit independent stage groups as CONCURRENT Spark jobs (label
     # closure ∥ corpus prep; training ∥ candidate generation). The DAG's
     # serial stage chain cannot feed a wide cluster by itself — measured
@@ -314,13 +349,21 @@ def run_er_pipeline(
         if config.vocab_k == "auto"
         else int(config.vocab_k)
     )
+    # index_vocab folded into the stage: the dense term_idx assignment is
+    # a single-partition global sort by nature, so it must run ONCE here
+    # (cached/checkpointed) — both prep paths then reuse it instead of
+    # re-deriving the window per path (measured ~1-2 s each at bench
+    # scale, and at production vocab sizes the single-partition sort is
+    # exactly the stage to never repeat).
     top_vocab = runner.run(
         "top_vocab",
-        lambda: TI.er_vocab(
-            TI.vocab(postings_df, n_docs),
-            n_docs,
-            vocab_k,
-            max_df_ratio=config.max_df_ratio,
+        lambda: TI.index_vocab(
+            TI.er_vocab(
+                TI.vocab(postings_df, n_docs),
+                n_docs,
+                vocab_k,
+                max_df_ratio=config.max_df_ratio,
+            )
         ),
         fp_files,
     )
@@ -374,6 +417,27 @@ def run_er_pipeline(
         ),
         fp_files,
     )
+
+    # ---- stage: SEMANTIC candidates (top-k TF-IDF term blocking) -----------
+    # Depends on docs_prep (the int-keyed vectors + sigs), NOT on a new
+    # corpus scan: the top-k is an expression-side sort/slice of the map
+    # each doc already carries, so the channel costs one blocking shuffle
+    # of k rows/doc plus the capped in-block pair explosion. est_j is
+    # computed in-block exactly like the lexical channel (sigs ride the
+    # membership) so the two channels union on an identical schema.
+    sem_candidates = None
+    if config.semantic_channel:
+        sem_candidates = runner.run(
+            "sem_candidates",
+            lambda: B.candidate_pairs_with_est_from_membership(
+                B.semantic_topk_membership(
+                    docs_prep, k=config.semantic_topk, carry_cols=("sig",)
+                ),
+                num_perm=config.num_perm,
+                per_block_cap=config.semantic_block_cap,
+            ),
+            fp_files,
+        )
 
     # ---- stage: label closure (reference semantics: ALL labels) ------------
     fp_labels = config.fingerprint("labels")
@@ -494,6 +558,26 @@ def run_er_pipeline(
     # features don't read the model; only the cheap predict projection
     # does, so the two tails overlap instead of stacking) ----------------
     def cand_features():
+        if sem_candidates is not None:
+            # Channel union AFTER the est-Jaccard prefilter: the lexical
+            # side keeps only prefilter survivors (~10%) and the semantic
+            # side keeps everything (its pairs are chosen BECAUSE they
+            # sit below the sketch estimate's reach; their gate is the
+            # exact cosine computed downstream), so the dedup shuffle
+            # sees ~0.4M rows at bench scale instead of the 4M raw union
+            # (measured: filtering after the union cost ~1 full pair
+            # shuffle of mostly-dead rows). est_j is a pure function of
+            # the pair, so max() is a no-op on duplicates.
+            cand = (
+                candidates.filter(F.col("est_j") >= F.lit(float(config.sig_prefilter)))
+                .unionByName(sem_candidates)
+                .groupBy("a", "b")
+                .agg(F.max("est_j").alias("est_j"))
+            )
+            return S.pair_features_from_est(
+                cand, docs_prep,
+                lev_bound=config.lev_bound, sig_prefilter=None,
+            ).select("a", "b", *S.FEATURE_COLS, "f_vocab_cov")
         return S.pair_features_from_est(
             candidates, docs_prep,
             lev_bound=config.lev_bound, sig_prefilter=config.sig_prefilter,
@@ -594,6 +678,30 @@ def run_er_pipeline(
     else:
         override_bar = None
 
+    # Semantic bar: same calibration machinery and evidence gates as the
+    # jaccard-relaxed override, over the semantic region {f_cosine >=
+    # cmin} with no jaccard requirement and no vocab-empty exemption
+    # (zero-cosine pairs are outside a cosine region by definition).
+    # The min_n rule-of-three gate carries over unchanged: a corpus whose
+    # labeled negatives never reach cosine cmin grants only the 0.99 cap
+    # — the semantic path then admits nothing the evidence doesn't
+    # support (measured: the hard tier's template-group negatives sit at
+    # cosine 0.38-0.47 / proba <= 0.22, so the bar lands at its 0.8
+    # structural floor there while orphan true pairs score 0.84+).
+    sem_bar = None
+    if config.semantic_channel and config.edge_semantic_override is not None:
+        if config.edge_semantic_override == "auto":
+            sem_bar = S.calibrate_override_bar(
+                train_pairs.select("label", *S.FEATURE_COLS),
+                model,
+                jaccard_min=0.0,
+                cosine_min=config.edge_semantic_cosine_min,
+                cosine_exempt_empty=False,
+            )
+            plog(f"semantic bar calibrated: {sem_bar:.4f}")
+        else:
+            sem_bar = float(config.edge_semantic_override)
+
     def final_cluster():
         pos_label_edges = labeled_pairs.filter(F.col("label") == 1).select(
             F.least("left_spec_id", "right_spec_id").alias("a"),
@@ -619,6 +727,7 @@ def run_er_pipeline(
             floor_ok = floor_ok & (
                 F.col("f_jaccard") >= F.lit(float(config.edge_jaccard_floor))
             )
+        accept_ok = floor_ok
         if override_bar is not None:
             relaxed_ok = (
                 (F.col("f_jaccard") >= F.lit(float(config.edge_override_jaccard_min)))
@@ -627,18 +736,24 @@ def run_er_pipeline(
                     | (F.col("f_vocab_cov") == 0)
                 )
             )
-            accepted = accepted.filter(
-                floor_ok
-                | (relaxed_ok & (F.col("proba") >= F.lit(float(override_bar))))
+            accept_ok = accept_ok | (
+                relaxed_ok & (F.col("proba") >= F.lit(float(override_bar)))
             )
-        else:
-            accepted = accepted.filter(floor_ok)
+        if sem_bar is not None:
+            # SEMANTIC path: exact-cosine floor + calibrated bar, no
+            # jaccard requirement — the only gate low-shingle-overlap
+            # near-dups (the channel's whole purpose) can clear. Applies
+            # uniformly to all scored pairs (policy over feature space,
+            # not candidate provenance).
+            sem_ok = F.col("f_cosine") >= F.lit(float(config.edge_semantic_cosine_min))
+            accept_ok = accept_ok | (sem_ok & (F.col("proba") >= F.lit(float(sem_bar))))
+        accepted = accepted.filter(accept_ok)
         pred_edges = accepted.select("a", "b").join(
             neg_label_pairs, ["a", "b"], "left_anti"
         )
         edges = pos_label_edges.unionByName(pred_edges)
         cc_dir = (
-            os.path.join(workdir, f"cc_final_{config.fingerprint('cluster' + str(thr) + str(override_bar))}")
+            os.path.join(workdir, f"cc_final_{config.fingerprint('cluster' + str(thr) + str(override_bar) + str(sem_bar))}")
             if workdir
             else None
         )
@@ -652,16 +767,28 @@ def run_er_pipeline(
 
     plog("final_cluster: start")
     final_labels = runner.run(
-        "cluster", final_cluster, config.fingerprint("cluster" + str(thr) + str(override_bar))
+        "cluster",
+        final_cluster,
+        config.fingerprint("cluster" + str(thr) + str(override_bar) + str(sem_bar)),
     )
     plog("final_cluster: done")
 
     matches = C.extract_matches(final_labels)
 
+    candidates_all = candidates
+    if sem_candidates is not None:
+        candidates_all = (
+            candidates.select("a", "b")
+            .unionByName(sem_candidates.select("a", "b"))
+            .distinct()
+        )
+
     return {
         "docs_prep": docs_prep,
         "membership": membership,
         "candidates": candidates,
+        "sem_candidates": sem_candidates,
+        "candidates_all": candidates_all,
         "label_clusters": label_clusters,
         "neg_edges": neg_edges,
         "train_pairs": train_pairs,
@@ -669,6 +796,7 @@ def run_er_pipeline(
         "scored": scored,
         "edge_threshold": thr,
         "override_bar": override_bar,
+        "sem_bar": sem_bar,
         "labels": final_labels,
         "matches": matches,
         "runner": runner,

@@ -161,6 +161,52 @@ def test_hard_recall_decomposition_by_kind(hard_result, hard_tables):
     assert abs(tp / m["true_pairs"] - m["recall"]) < 1e-3
 
 
+def test_semantic_channel_lifts_orphan_recall(spark):
+    """VERDICT r4 #1's done-criterion, pinned as a regression floor: on a
+    hard corpus large enough for the calibration evidence gates to grant
+    (>=150 labeled train-split negatives inside the semantic cosine
+    region — 70 unique-header groups x 4 negs x 0.6 split = ~168), the
+    semantic top-k-term channel must make orphan-kind pairs (shingle
+    Jaccard BELOW the lexical prefilter by construction) reachable:
+    r4's single-channel ceiling was the lexically-reachable ~52%; the
+    bench-scale two-channel result is 0.9875 (BENCH_r05). Floor set at
+    0.70 so corpus-size noise can't flake the test while any channel
+    regression (membership, union, semantic bar) still trips it.
+    Precision and the north rule must hold simultaneously."""
+    import bench
+    from bigdataentityresolution_spark.sources.synthetic import corpus_to_spark
+
+    corpus = generate_hard_corpus(
+        n_hard_clusters=600,
+        n_orphan_clusters=150,
+        n_template_groups=150,
+        template_group_size=6,
+        n_unique_header_groups=70,
+        hot_block_size=100,
+        n_unrelated=800,
+        n_repos=30,
+        seed=4242,
+    )
+    files_df, truth_df, pairs_df = corpus_to_spark(spark, corpus)
+    files_df = files_df.cache()
+    result = P.run_er_pipeline(spark, files_df, pairs_df, workdir=None)
+    by_kind = bench._hard_recall_by_kind(result["labels"], truth_df)
+    m = P.pairwise_f1(result["labels"], truth_df)
+    lm = P.labeled_pair_f1(result["labels"], pairs_df)
+    result["runner"].release()
+    files_df.unpersist()
+    assert by_kind["recall_orphan"] >= 0.70, (by_kind, m)
+    # Precision floor 0.95, not 0.99: at THIS mid scale (~5k files) the
+    # measured false edges come 50/60 from the PRE-EXISTING full-floors
+    # path on unique-header template pairs (cos 0.81, est-J 0.63, lev
+    # 1.0 — the corpus's by-construction hard precision case, which a
+    # noisier mid-scale fit scores proba ~0.55 > the calibrated 0.35
+    # threshold), only 10/60 from the semantic path. Bench scale pins
+    # precision at 0.9997 (BENCH_r05 er_hard).
+    assert m["precision"] >= 0.95, m
+    assert lm["f1"] >= 0.99, lm
+
+
 def test_hotkey_corpus_shape():
     c = generate_hotkey_corpus(n_hot=200, n_background=100, seed=7)
     assert c.meta["n_hot"] == 200 and len(c.files) == 300
