@@ -516,6 +516,65 @@ def q_candidate_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "semantic_topk_blocking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents
+    ), postings AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), lengths AS (
+      SELECT doc_id, sum(tf) AS n_tokens FROM postings GROUP BY doc_id
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    vocab AS (
+      SELECT term, count(*) AS df,
+             sum(tf * 1.0 / n_tokens) * ln((SELECT n_docs FROM n) * 1.0 / count(*))
+               / (SELECT n_docs FROM n) AS tsm
+      FROM postings JOIN lengths USING (doc_id)
+      GROUP BY term
+    ), top AS (
+      SELECT term, ln((SELECT n_docs FROM n) * 1.0 / df) AS idf,
+             row_number() OVER (ORDER BY tsm DESC, term ASC) - 1 AS term_idx
+      FROM vocab ORDER BY tsm DESC, term ASC LIMIT 100
+    ), weights AS (
+      SELECT p.doc_id, t.term_idx,
+             CAST((1 + ln(p.tf)) * t.idf AS REAL) AS w
+      FROM postings p JOIN top t USING (term)
+    ), ranked AS (
+      SELECT doc_id, term_idx,
+             row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term_idx ASC) AS r
+      FROM weights
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS spec_id,
+           't:' || CAST(term_idx AS VARCHAR) AS block_key
+    FROM ranked WHERE r <= 3
+    """,
+)
+def q_semantic_topk_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5 SEMANTIC candidate channel's blocking operator
+    (blocking.semantic_topk_membership): each doc's top-3 TF-IDF terms
+    (sublinear-TF weights over the top-100 vocabulary, float32 — the
+    pair-join representation) become block keys, selected EXPRESSION-SIDE
+    (sort/slice of the doc's weight map, no per-doc window). The oracle
+    reproduces the full chain — vocabulary ranking, dense term indexing,
+    (1+ln tf)·idf weights CAST to REAL so both engines rank on identical
+    float32 values, per-doc top-3 with ties toward the smaller term
+    index. No reference analog (single-channel blocking,
+    src/functs.c:1731-1881); this is the engine's own channel, oracle-
+    checked end-to-end."""
+    from bigdataentityresolution_spark.operators import blocking as B
+
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    p = TI.postings(docs)
+    tv = TI.index_vocab(TI.top_k_vocab(TI.vocab(p, n), 100))
+    vecs = (
+        TI.doc_vectors_indexed(p, tv, n, tf_mode="log")
+        .select(F.col("doc_id").cast("string").alias("spec_id"), "features")
+    )
+    return B.semantic_topk_membership(vecs, k=3)
+
+
+@_register(
     "hotkey_salted_parity",
     """
     SELECT CAST(doc_id AS VARCHAR) AS a, CAST(doc_id AS VARCHAR) AS b

@@ -79,7 +79,10 @@ def main() -> None:
     )
     missed = true_pairs.join(pred_pairs, ["a", "b"], "left_anti").cache()
 
-    cand = result["candidates"].select(
+    # candidates_all (r5+): both channels — attributing against the
+    # lexical channel alone would mislabel semantic-channel candidates
+    # as not_candidate
+    cand = result["candidates_all"].select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), F.lit(1).alias("is_cand")
     )
     scored = result["scored"].select(
