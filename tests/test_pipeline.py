@@ -97,7 +97,9 @@ def test_checkpoint_resume_equivalence(spark, tiny_tables, tmp_path_factory):
     labels2 = sorted(map(tuple, r2["labels"].collect()))
     assert labels1 == labels2
     resumed = [s for s, m in r2["runner"].manifests.items() if m.get("resumed")]
-    assert set(resumed) >= {"prep", "blocking", "candidates", "closure", "cluster"}
+    assert set(resumed) >= {
+        "prep", "blocking", "candidates", "sem_candidates", "closure", "cluster",
+    }
     # manifests carry per-partition lineage
     m = r2["runner"].manifests["candidates"]
     assert m["rows"] == sum(p["rows"] for p in m["partitions"])
