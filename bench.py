@@ -142,17 +142,18 @@ def bench_er_hard(spark) -> dict:
         result = run_er_pipeline(spark, files, pairs, workdir=None, config=ERConfig())
         result["labels"].select("cluster_id").distinct().count()
         rep_secs.append(time.time() - t0)
-        # accounting outside the timed window (same protocol as
-        # bench_er_pipeline): the cross-channel distinct union is
-        # bookkeeping, not pipeline work
-        n_candidates = result["candidates_all"].count()
-        n_candidates_lexical = result["candidates"].count()
         if len(rep_secs) < max(1, reps):
             result["runner"].release()
             result["train_pairs"].unpersist()
             spark.sparkContext._jvm.System.gc()
             time.sleep(1.0)
     elapsed = min(rep_secs)
+    # accounting outside the timed window, once on the final rep (same
+    # protocol as bench_er_pipeline): the cross-channel distinct union is
+    # bookkeeping, not pipeline work, and its value is deterministic
+    # across reps
+    n_candidates = result["candidates_all"].count()
+    n_candidates_lexical = result["candidates"].count()
     m = pairwise_f1(result["labels"], truth)
     by_kind = _hard_recall_by_kind(result["labels"], truth)
     lm = labeled_pair_f1(result["labels"], pairs)
@@ -171,6 +172,7 @@ def bench_er_hard(spark) -> dict:
         "n_candidates": n_candidates,
         "n_candidates_lexical": n_candidates_lexical,
         "candidate_pairs_per_sec": n_candidates / elapsed,
+        "candidate_pairs_per_sec_lexical": n_candidates_lexical / elapsed,
         "precision": round(m["precision"], 4),
         "recall": round(m["recall"], 4),
         "f1": round(m["f1"], 4),
@@ -419,6 +421,7 @@ def bench_er_pipeline(spark, self_train: bool = True) -> dict:
         "n_candidates_lexical": n_candidates_lexical,
         "n_clusters": n_clusters,
         "candidate_pairs_per_sec": n_candidates / elapsed,
+        "candidate_pairs_per_sec_lexical": n_candidates_lexical / elapsed,
         "files_per_sec": n_files / elapsed,
         "f1": round(f1["f1"], 4),
     }
@@ -569,6 +572,20 @@ def main() -> None:
     out = {
         "metric": "candidate_pairs_per_sec",
         "value": round(er["candidate_pairs_per_sec"], 1),
+        # Metric-definition transparency (r5): the numerator became the
+        # distinct TWO-channel candidate union (lexical MinHash ∪
+        # semantic top-k-term) and candidate counting moved outside the
+        # timed wall (it is accounting, not pipeline work — the pipeline
+        # never materializes the cross-channel union). value_lexical is
+        # the r4-comparable figure: lexical-channel candidates over the
+        # SAME wall. Round-over-round comparisons of `value` across
+        # BENCH_r4/r5 must use value_lexical, not value.
+        "value_lexical": round(er["candidate_pairs_per_sec_lexical"], 1),
+        "metric_definition": (
+            "distinct candidate pairs across both channels / warm er_pipeline "
+            "wall; counts outside the timed window (r5+). value_lexical = "
+            "lexical-channel-only numerator, comparable to r4's value."
+        ),
         "unit": "pairs/sec",
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),

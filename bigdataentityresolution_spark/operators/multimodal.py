@@ -89,10 +89,14 @@ def decode_audio_soundfile(payload: bytes, modality: str) -> np.ndarray:
     mono = np.abs(data).mean(axis=1)
     if len(mono) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
-    # pad to a multiple of FEATURE_DIM then mean-pool each bin
-    pad = (-len(mono)) % FEATURE_DIM
-    mono = np.pad(mono, (0, pad))
-    return mono.reshape(FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
+    # near-equal bins WITHOUT zero padding: padding would dilute the
+    # final bin's mean by up to (FEATURE_DIM-1)/bin_len for clips whose
+    # sample count isn't a multiple of FEATURE_DIM, so two recordings
+    # differing only by a sub-bin length would fingerprint differently
+    return np.asarray(
+        [chunk.mean() if len(chunk) else 0.0 for chunk in np.array_split(mono, FEATURE_DIM)],
+        dtype=np.float32,
+    )
 
 
 def decode_video_av(payload: bytes, modality: str) -> np.ndarray:

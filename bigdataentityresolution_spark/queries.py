@@ -527,8 +527,8 @@ def q_candidate_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT count(*) AS n_docs FROM documents),
     vocab AS (
       SELECT term, count(*) AS df,
-             sum(tf * 1.0 / n_tokens) * ln((SELECT n_docs FROM n) * 1.0 / count(*))
-               / (SELECT n_docs FROM n) AS tsm
+             round(sum(tf * 1.0 / n_tokens) * ln((SELECT n_docs FROM n) * 1.0 / count(*))
+               / (SELECT n_docs FROM n), 6) AS tsm
       FROM postings JOIN lengths USING (doc_id)
       GROUP BY term
     ), top AS (
@@ -558,7 +558,12 @@ def q_semantic_topk_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the full chain — vocabulary ranking, dense term indexing,
     (1+ln tf)·idf weights CAST to REAL so both engines rank on identical
     float32 values, per-doc top-3 with ties toward the smaller term
-    index. No reference analog (single-channel blocking,
+    index. Cross-engine determinism: the significance score is rounded
+    to 6 dp on BOTH sides BEFORE the rank that assigns term_idx — vocab
+    tsm is a floating SUM whose accumulation order differs between
+    Spark partial aggregation and DuckDB, and the rank index is embedded
+    in the block-key VALUES, so an unrounded near-tie swap would shift
+    every later index. No reference analog (single-channel blocking,
     src/functs.c:1731-1881); this is the engine's own channel, oracle-
     checked end-to-end."""
     from bigdataentityresolution_spark.operators import blocking as B
@@ -566,7 +571,8 @@ def q_semantic_topk_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     n = docs.count()
     p = TI.postings(docs)
-    tv = TI.index_vocab(TI.top_k_vocab(TI.vocab(p, n), 100))
+    v = TI.vocab(p, n).withColumn("tfidf_sum_mean", F.round("tfidf_sum_mean", 6))
+    tv = TI.index_vocab(TI.top_k_vocab(v, 100))
     vecs = (
         TI.doc_vectors_indexed(p, tv, n, tf_mode="log")
         .select(F.col("doc_id").cast("string").alias("spec_id"), "features")

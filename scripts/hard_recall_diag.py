@@ -129,20 +129,33 @@ def main() -> None:
     if bar is not None:
         # Gate constants come from the SAME ERConfig the run used
         # (ADVICE r4: hardcoded 0.2/0.35 misattributed pairs once the
-        # shipped default override floor moved to 0.12).
+        # shipped default override floor moved to 0.12). The attribution
+        # covers ALL THREE accept paths (full floors / jaccard-relaxed
+        # override / r5 semantic) — a rejected pair's "why" is the bar of
+        # the last region it was inside, not the first gate checked.
         cfg = ERConfig()
         jmin = float(cfg.edge_override_jaccard_min)
         cmin = float(cfg.edge_override_cosine_min)
-        print(f"== floor_rejected misses vs override gate (bar={bar:.4f}, "
-              f"jacc_min={jmin}, cos_min={cmin}) ==")
+        sem_bar = result["sem_bar"]
+        sem_cmin = float(cfg.edge_semantic_cosine_min)
+        in_override = (F.col("f_jaccard") >= jmin) & (
+            (F.col("f_cosine") >= cmin) | (F.col("f_vocab_cov") == 0)
+        )
+        in_sem = (
+            F.col("f_cosine") >= sem_cmin if sem_bar is not None else F.lit(False)
+        )
+        print(f"== floor_rejected misses vs gates (override bar={bar:.4f} "
+              f"jacc_min={jmin} cos_min={cmin}; semantic bar={sem_bar} "
+              f"cos_min={sem_cmin}) ==")
         (
             diag.filter(F.col("stage") == "floor_rejected")
             .withColumn(
                 "why",
-                F.when(F.col("f_jaccard") < jmin, f"jacc<{jmin}")
-                .when((F.col("f_cosine") < cmin) & (F.col("f_vocab_cov") > 0), f"cos<{cmin}")
-                .when(F.col("proba") < bar, "proba<bar")
-                .otherwise("??"),
+                F.when(in_override & (F.col("proba") < bar), "proba<bar")
+                .when(in_sem & (F.col("proba") < F.lit(sem_bar or 2.0)), "proba<sem_bar")
+                .when(in_override | in_sem, "??")  # in-region + over-bar ⇒ impossible here
+                .when(F.col("f_jaccard") < jmin, f"jacc<{jmin}&cos<{sem_cmin}")
+                .otherwise(f"cos<{cmin}"),
             )
             .groupBy("kind", "why")
             .count()

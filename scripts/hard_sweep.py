@@ -22,27 +22,37 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# Every config pins semantic_channel=False: this sweep isolates the
+# LEXICAL levers (banding constants, prefilter/override floors), and the
+# r5 semantic channel would both mask their recall effect (it reaches
+# the same pairs another way) and make n_candidates incomparable across
+# rounds. "base" is therefore "shipped defaults minus the semantic
+# channel" — the r4 operating point. Sweep semantic levers (topk, cap,
+# sem gate) separately if needed; scripts/semantic_blocking_probe.py
+# covers the channel's own selection sweep.
+_LEX = {"semantic_channel": False}
 CONFIGS = {
     # the shipped r4 default (64 perms / 32 bands, prefilter+override
     # floor 0.12) — the sweep's winner, promoted into ERConfig
-    "base": {},
+    "base": {**_LEX},
     # the pre-r4 default, pinned explicitly so the sweep stays
     # reproducible against the old operating point
     "old_default": {
+        **_LEX,
         "num_perm": 32, "bands": 16,
         "sig_prefilter": 0.2, "edge_override_jaccard_min": 0.2,
     },
     # banding lever alone: candidate prob at exact-J 0.15/0.20/0.25
     # goes 30/48/64% -> 52/73/87%
-    "bands32_only": {"sig_prefilter": 0.2, "edge_override_jaccard_min": 0.2},
+    "bands32_only": {**_LEX, "sig_prefilter": 0.2, "edge_override_jaccard_min": 0.2},
     # prefilter lever alone on the old banding (est noise at 32 perms
     # drops true J~0.25 pairs below 0.2)
-    "old_bands_pref12": {"num_perm": 32, "bands": 16},
+    "old_bands_pref12": {**_LEX, "num_perm": 32, "bands": 16},
     # the recall-critical setting: hard-kind recall 0.986 at x2.8
     # candidates / +43% easy-bench wall
-    "bands48_pref12": {"num_perm": 96, "bands": 48},
+    "bands48_pref12": {**_LEX, "num_perm": 96, "bands": 48},
     # diminishing-returns point: 0.993 at x3.6 candidates
-    "bands64_pref12": {"num_perm": 128, "bands": 64},
+    "bands64_pref12": {**_LEX, "num_perm": 128, "bands": 64},
 }
 
 

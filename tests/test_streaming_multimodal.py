@@ -217,11 +217,11 @@ def test_extract_media_features_real_soundfile_decode(spark):
     sf = pytest.importorskip("soundfile")
     import io
 
-    def wav_bytes(amp: float) -> bytes:
+    def wav_bytes(amp: float, n: int = 1600) -> bytes:
         buf = io.BytesIO()
         sf.write(
             buf,
-            np.full(1600, amp, dtype=np.float32),
+            np.full(n, amp, dtype=np.float32),
             16000,
             format="WAV",
             subtype="FLOAT",
@@ -230,6 +230,9 @@ def test_extract_media_features_real_soundfile_decode(spark):
 
     rows = [
         ("loud", "audio", wav_bytes(0.5), ("audio/wav", None, None, 100)),
+        # 1601 samples: NOT a multiple of FEATURE_DIM — guards the
+        # no-zero-padding pooling (a padded final bin would read low)
+        ("odd", "audio", wav_bytes(0.5, n=1601), ("audio/wav", None, None, 100)),
         ("silent", "audio", wav_bytes(0.0), ("audio/wav", None, None, 100)),
         ("img", "image", b"\x89PNG fake", ("image/png", 8, 8, None)),
     ]
@@ -240,6 +243,7 @@ def test_extract_media_features_real_soundfile_decode(spark):
     }
     # real decode: constant-amplitude audio → constant loudness envelope
     assert feats["loud"] == pytest.approx([0.5] * M.FEATURE_DIM)
+    assert feats["odd"] == pytest.approx([0.5] * M.FEATURE_DIM)
     assert feats["silent"] == pytest.approx([0.0] * M.FEATURE_DIM)
     # non-audio rows fall back to the digest stub, same shape
     assert len(feats["img"]) == M.FEATURE_DIM
